@@ -1,0 +1,286 @@
+"""TPU-native Llama-architecture causal LM (SmolLM2-135M shape).
+
+The reference drives HuggingFace's ``AutoModelForCausalLM`` through
+``inputs_embeds`` (mellow/model/decoder.py:25, mellow/wrapper.py:217) and
+re-runs the full model every decode step with no KV cache
+(SURVEY.md section 3.4 Q3). This implementation is a from-scratch functional JAX
+Llama with:
+
+  * stacked per-layer parameters scanned with ``lax.scan`` (one compiled
+    layer body instead of 30 unrolled layers),
+  * a static-shape KV cache so the whole decode loop jits once,
+  * GQA (9 query heads / 3 KV heads), RoPE (HF "rotate_half" convention),
+    RMSNorm, SiLU-gated MLP, tied embeddings.
+
+Parameter tree (all kernels stored (in, out) so application is ``x @ W``):
+
+  params = {
+    "embed": (V, D),
+    "layers": {               # every leaf stacked on axis 0 with L entries
+        "ln_attn": (L, D), "ln_mlp": (L, D),
+        "wq": (L, D, H*hd), "wk": (L, D, KV*hd), "wv": (L, D, KV*hd),
+        "wo": (L, H*hd, D),
+        "w_gate": (L, D, I), "w_up": (L, D, I), "w_down": (L, I, D),
+    },
+    "norm_f": (D,),
+  }
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mellow_tpu.config import LlamaConfig
+
+
+class KVCache(NamedTuple):
+    """Static-shape per-layer KV cache.
+
+    k, v: (L, B, S_max, KV_heads, head_dim). ``length`` is the number of
+    valid positions (a traced scalar inside the decode loop).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array  # int32 scalar
+
+    @staticmethod
+    def create(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+
+def rope_tables(cfg: LlamaConfig, max_len: int, dtype=jnp.float32) -> Tuple[np.ndarray, np.ndarray]:
+    """cos/sin tables, HF convention: emb = concat(freqs, freqs)."""
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (np.arange(0, cfg.head_dim, 2, dtype=np.float64) / cfg.head_dim)
+    )
+    t = np.arange(max_len, dtype=np.float64)
+    freqs = np.outer(t, inv_freq)  # (S, hd/2)
+    emb = np.concatenate([freqs, freqs], axis=-1)  # (S, hd)
+    return np.cos(emb).astype(dtype), np.sin(emb).astype(dtype)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, S, H, hd); cos/sin: (S, hd)."""
+    cos = cos[None, :, None, :]
+    sin = sin[None, :, None, :]
+    return x * cos + _rotate_half(x) * sin
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None):
+    """One transformer layer.
+
+    x: (B, S, D). mask: additive (1, 1, S, S_kv) or None (pure causal handled
+    by caller-provided mask). Returns (out, (k, v)) where k/v are this
+    layer's new keys/values (B, S, KV, hd) BEFORE any cache merge.
+    kv_slot: optional (k_cache, v_cache) of shape (B, S_max, KV, hd) holding
+    previously cached positions; when given, attention runs over the cache
+    with the new kv scattered in by the caller (decode path).
+    """
+    B, S, D = x.shape
+    H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+    q = (h @ lp["wq"]).reshape(B, S, H, hd)
+    k = (h @ lp["wk"]).reshape(B, S, KV, hd)
+    v = (h @ lp["wv"]).reshape(B, S, KV, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if kv_slot is None:
+        k_att, v_att = k, v
+    else:
+        k_att, v_att = kv_slot
+
+    # GQA: repeat KV heads to match query heads.
+    rep = H // KV
+    k_full = jnp.repeat(k_att, rep, axis=2)  # (B, S_kv, H, hd)
+    v_full = jnp.repeat(v_att, rep, axis=2)
+
+    scale = 1.0 / np.sqrt(hd)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k_full) * scale
+    if mask is not None:
+        attn = attn + mask
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", attn, v_full).reshape(B, S, H * hd)
+    x = x + o @ lp["wo"]
+
+    h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+    gate = jax.nn.silu(h @ lp["w_gate"])
+    up = h @ lp["w_up"]
+    x = x + (gate * up) @ lp["w_down"]
+    return x, (k, v)
+
+
+def forward(
+    params,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,
+    *,
+    attention_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full-sequence forward (teacher forcing / the reference's per-step
+    full recompute, wrapper.py:217). Returns logits (B, S, V)."""
+    B, S, D = inputs_embeds.shape
+    cos_t, sin_t = rope_tables(cfg, S, inputs_embeds.dtype)
+    cos, sin = jnp.asarray(cos_t), jnp.asarray(sin_t)
+
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
+    if attention_mask is not None:
+        pad = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, -jnp.inf)
+        mask = mask + pad
+
+    def body(x, lp):
+        x, _ = _layer(cfg, x, lp, cos, sin, mask)
+        return x, None
+
+    x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
+    x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
+    return logits_from_hidden(params, cfg, x)
+
+
+def logits_from_hidden(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return x @ head.astype(x.dtype)
+
+
+def prefill(
+    params,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """Run the prefix through the model, filling the cache.
+
+    Returns (hidden of last position (B, D) post-final-norm, updated cache).
+    """
+    B, S, D = inputs_embeds.shape
+    S_max = cache.k.shape[2]
+    cos_t, sin_t = rope_tables(cfg, S, inputs_embeds.dtype)
+    cos, sin = jnp.asarray(cos_t), jnp.asarray(sin_t)
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
+
+    def body(x, lp):
+        x, (k, v) = _layer(cfg, x, lp, cos, sin, mask)
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(body, inputs_embeds, params["layers"])
+    # ks: (L, B, S, KV, hd) -> write into cache[:, :, :S]
+    new_k = jax.lax.dynamic_update_slice(cache.k, ks.astype(cache.k.dtype), (0, 0, 0, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(cache.v, vs.astype(cache.v.dtype), (0, 0, 0, 0, 0))
+    x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
+    return x[:, -1, :], KVCache(new_k, new_v, jnp.asarray(S, jnp.int32))
+
+
+def decode_step(
+    params,
+    cfg: LlamaConfig,
+    token_embed: jax.Array,  # (B, D) embedding of the token just sampled
+    cache: KVCache,
+    cos_full: jax.Array,  # (S_max, hd) precomputed rope tables
+    sin_full: jax.Array,
+) -> Tuple[jax.Array, KVCache]:
+    """One incremental decode step. Returns (last hidden (B, D), new cache)."""
+    B, D = token_embed.shape
+    L = cfg.num_layers
+    KV, H, hd = cfg.num_kv_heads, cfg.num_heads, cfg.head_dim
+    S_max = cache.k.shape[2]
+    pos = cache.length  # scalar int32
+    x = token_embed[:, None, :]  # (B, 1, D)
+
+    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, 1, axis=0)  # (1, hd)
+    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, 1, axis=0)
+
+    # Valid-position mask over the cache (positions <= pos are attendable
+    # once the new token is written at index pos).
+    kpos = jnp.arange(S_max)
+    mask = jnp.where(kpos[None, None, None, :] <= pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+    def body(carry, scanned):
+        x, = carry
+        lp, k_cache, v_cache = scanned
+
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+        q = (h @ lp["wq"]).reshape(B, 1, H, hd)
+        k = (h @ lp["wk"]).reshape(B, 1, KV, hd)
+        v = (h @ lp["wv"]).reshape(B, 1, KV, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0))
+
+        rep = H // KV
+        k_full = jnp.repeat(k_cache, rep, axis=2)  # (B, S_max, H, hd)
+        v_full = jnp.repeat(v_cache, rep, axis=2)
+        scale = 1.0 / np.sqrt(hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k_full.astype(q.dtype)) * scale
+        attn = attn + mask
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v_full.astype(x.dtype))
+        x = x + o.reshape(B, 1, H * hd) @ lp["wo"]
+
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(h @ lp["w_gate"])
+        up = h @ lp["w_up"]
+        x = x + (gate * up) @ lp["w_down"]
+        return (x,), (k_cache, v_cache)
+
+    (x,), (new_k, new_v) = jax.lax.scan(body, (x,), (params["layers"], cache.k, cache.v))
+    x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
+    return x[:, 0, :], KVCache(new_k, new_v, pos + 1)
+
+
+def init_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
+    """Random init (testing / training-from-scratch). Normal(0, 0.02)
+    truncation-free — real weights come from the checkpoint converter."""
+    keys = jax.random.split(rng, 9)
+    L, D, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def nrm(key, shape):
+        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+
+    params = {
+        "embed": nrm(keys[0], (cfg.vocab_size, D)),
+        "layers": {
+            "ln_attn": jnp.ones((L, D), dtype),
+            "ln_mlp": jnp.ones((L, D), dtype),
+            "wq": nrm(keys[1], (L, D, H * hd)),
+            "wk": nrm(keys[2], (L, D, KV * hd)),
+            "wv": nrm(keys[3], (L, D, KV * hd)),
+            "wo": nrm(keys[4], (L, H * hd, D)),
+            "w_gate": nrm(keys[5], (L, D, I)),
+            "w_up": nrm(keys[6], (L, D, I)),
+            "w_down": nrm(keys[7], (L, I, D)),
+        },
+        "norm_f": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = nrm(keys[8], (D, cfg.vocab_size))
+    return params

@@ -1,0 +1,16 @@
+"""Test env setup: force CPU backend with 8 virtual devices so sharding
+tests run without TPU hardware (SURVEY.md section 4 item 4). Must run before the
+first ``import jax`` anywhere in the test process."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
