@@ -1,0 +1,126 @@
+"""Benchmark harness — runs on the real TPU chip (axon platform).
+
+Measures the BASELINE.json north-star metrics:
+  * decode tokens/sec/chip (batched, static KV cache, bf16 perf mode)
+  * mel+encoder clips/sec/chip (batched clip pairs)
+  * p50 end-to-end generate latency
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with the
+primary metric (decode tokens/sec/chip; baseline target 5000 from
+BASELINE.md). Additional metrics go to stderr for humans.
+
+The reference publishes no numbers (BASELINE.md); targets are the driver's
+north-star floors. Random weights are used (no checkpoint reachable
+offline) — throughput is weight-value independent.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+DECODE_BASELINE_TOKSPS = 5000.0  # BASELINE.md target floor
+ENCODER_BASELINE_CLIPS = 100.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mellow_tpu.config import get_config
+    from mellow_tpu.models import generate as gen
+    from mellow_tpu.models import htsat, mellow as mellow_model
+
+    cfg = get_config("v0")
+    dtype = jnp.bfloat16
+    log(f"devices: {jax.devices()}")
+
+    params = mellow_model.init_params(jax.random.PRNGKey(0), cfg, dtype)
+
+    # ------------------------------------------------------------------
+    # 1) decode tokens/sec/chip: batched greedy decode with KV cache.
+    # ------------------------------------------------------------------
+    B, max_len = 64, 128
+    rng = np.random.RandomState(0)
+    prefix = jnp.asarray(
+        rng.randn(B, cfg.prefix_length, cfg.d_proj) * 0.02, dtype
+    )
+
+    def run_decode():
+        return gen.generate(
+            params["decoder"], cfg.decoder, prefix,
+            max_len=max_len, stop_token_id=-1,  # never fires: fixed-length run
+            greedy=True, cache_dtype="bfloat16",
+        )
+
+    t0 = time.time()
+    res = run_decode()
+    res.tokens.block_until_ready()
+    compile_s = time.time() - t0
+    log(f"decode compile+first run: {compile_s:.1f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        res = run_decode()
+        res.tokens.block_until_ready()
+        times.append(time.time() - t0)
+    steps = int(res.num_steps)
+    decode_time = min(times)
+    tokens_per_s = B * steps / decode_time
+    log(f"decode: B={B} steps={steps} time={decode_time:.3f}s -> {tokens_per_s:,.0f} tok/s")
+
+    # ------------------------------------------------------------------
+    # 2) encoder clips/sec/chip
+    # ------------------------------------------------------------------
+    Be = 32
+    wave = jnp.asarray(rng.randn(Be, 320000) * 0.1, dtype)
+    enc = jax.jit(
+        lambda w: htsat.encode_audio(w, params, cfg.frontend, cfg.encoder)
+    )
+    enc(wave).block_until_ready()
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        enc(wave).block_until_ready()
+        times.append(time.time() - t0)
+    clips_per_s = Be / min(times)
+    log(f"encoder: B={Be} time={min(times):.3f}s -> {clips_per_s:,.0f} clips/s")
+
+    # ------------------------------------------------------------------
+    # 3) p50 end-to-end generate latency (single example pair, 32 tokens)
+    # ------------------------------------------------------------------
+    wave1 = jnp.asarray(rng.randn(1, 320000) * 0.1, dtype)
+    text = jnp.asarray(rng.randint(2, 49000, (1, cfg.text_tokenization_len)), jnp.int32)
+
+    def run_e2e():
+        return mellow_model.generate_tokens(
+            params, cfg, wave1, wave1, text, max_len=32, cache_dtype="bfloat16"
+        )
+
+    run_e2e().tokens.block_until_ready()
+    lat = []
+    for _ in range(5):
+        t0 = time.time()
+        run_e2e().tokens.block_until_ready()
+        lat.append(time.time() - t0)
+    p50 = sorted(lat)[len(lat) // 2]
+    log(f"e2e generate (1 pair, 32 tok): p50 {p50*1000:.0f} ms")
+    log(f"encoder clips/s vs baseline {ENCODER_BASELINE_CLIPS}: "
+        f"{clips_per_s / ENCODER_BASELINE_CLIPS:.2f}x")
+
+    print(json.dumps({
+        "metric": "decode tokens/sec/chip",
+        "value": round(tokens_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_s / DECODE_BASELINE_TOKSPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,7 @@ def generate(
     temperature: float = 1.0,
     rng: Optional[jax.Array] = None,
     cache_dtype: str = "float32",
+    initial_done: Optional[jax.Array] = None,  # (B,) bool: padding rows
 ) -> GenerateResult:
     B, P, D = prefix_embeds.shape
     S_max = P + max_len
@@ -122,7 +123,7 @@ def generate(
         tokens=jnp.zeros((B, max_len), jnp.int32),
         last_hidden=hidden,
         t=jnp.zeros((), jnp.int32),
-        done=jnp.zeros((B,), bool),
+        done=jnp.zeros((B,), bool) if initial_done is None else initial_done,
         rng=rng,
     )
     final = jax.lax.while_loop(cond, body, init)

@@ -1,0 +1,323 @@
+"""HTSAT Swin-Transformer audio encoder, TPU-native.
+
+Re-design of the reference encoder (mellow/model/htsat.py:574-955) as pure
+functional JAX over a param tree:
+
+  * window partition/reverse and the time->frequency fold are static
+    reshapes/transposes — no torch view/unfold patterns (htsat.py:224-251).
+  * cyclic shifts are ``jnp.roll`` with static shifts (htsat.py:428-431).
+  * SW-MSA additive masks and the relative-position-bias gather index are
+    compile-time numpy constants (htsat.py:277-291, 389-412).
+  * the per-block attention maps the reference collects at eval purely for
+    the disabled heatmap path (htsat.py:560-567, htsat_attn_heatmap=False)
+    are never materialized.
+  * everything static-shaped: one jit, MXU-shaped matmuls throughout.
+
+Param tree layout matches tools/convert_ckpt.py::convert_htsat.
+Shapes follow SURVEY.md section 3.3 exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mellow_tpu.config import FrontendConfig, HTSATConfig
+from mellow_tpu.ops import frontend as fe
+
+
+# ---------------------------------------------------------------------------
+# compile-time constants
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def relative_position_index(window_size: int) -> np.ndarray:
+    """(ws*ws, ws*ws) gather index into the (2ws-1)^2 bias table
+    (reference: htsat.py:280-291)."""
+    ws = window_size
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+@functools.lru_cache(maxsize=8)
+def shifted_window_mask(resolution: int, window_size: int, shift: int) -> np.ndarray:
+    """(nW, N, N) additive mask (0 / -100) for SW-MSA blocks, precomputed
+    via the image-region counting scheme (reference: htsat.py:389-412)."""
+    H = W = resolution
+    img = np.zeros((H, W))
+    cnt = 0
+    for hs in (slice(0, -window_size), slice(-window_size, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -window_size), slice(-window_size, -shift), slice(-shift, None)):
+            img[hs, wsl] = cnt
+            cnt += 1
+    nh = H // window_size
+    mw = img.reshape(nh, window_size, nh, window_size).transpose(0, 2, 1, 3)
+    mw = mw.reshape(-1, window_size * window_size)  # (nW, N)
+    diff = mw[:, None, :] - mw[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# layers
+# ---------------------------------------------------------------------------
+
+def layer_norm(x, p, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def gelu(x):
+    # torch nn.GELU default = exact erf formulation.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def window_partition(x: jax.Array, ws: int) -> jax.Array:
+    """(B, H, W, C) -> (B*nW, ws*ws, C), window-row-major like the reference."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(-1, ws * ws, C)
+
+
+def window_reverse(windows: jax.Array, ws: int, H: int, W: int) -> jax.Array:
+    B = windows.shape[0] // ((H // ws) * (W // ws))
+    x = windows.reshape(B, H // ws, W // ws, ws, ws, -1)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, H, W, -1)
+
+
+def window_attention(
+    x: jax.Array,  # (Bn, N, C)
+    p: dict,
+    num_heads: int,
+    window_size: int,
+    mask: Optional[np.ndarray],  # (nW, N, N) or None
+) -> jax.Array:
+    """W-MSA with relative position bias (reference: htsat.py:301-332)."""
+    Bn, N, C = x.shape
+    hd = C // num_heads
+    qkv = x @ p["qkv"]["kernel"] + p["qkv"]["bias"]  # (Bn, N, 3C)
+    qkv = qkv.reshape(Bn, N, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, N, H, hd)
+
+    scale = hd ** -0.5
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+
+    idx = relative_position_index(window_size)  # (N, N)
+    bias = p["rel_bias_table"][idx.reshape(-1)].reshape(N, N, num_heads)
+    attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.reshape(Bn // nW, nW, num_heads, N, N)
+        attn = attn + jnp.asarray(mask)[None, :, None]
+        attn = attn.reshape(Bn, num_heads, N, N)
+
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(Bn, N, C)
+    return out @ p["proj"]["kernel"] + p["proj"]["bias"]
+
+
+def swin_block(
+    x: jax.Array,  # (B, L, C)
+    p: dict,
+    resolution: int,
+    num_heads: int,
+    window_size: int,
+    shift: int,
+    *,
+    drop_path_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """One Swin block (reference: htsat.py:414-455). If the window covers the
+    whole resolution the shift collapses to 0 (htsat.py:368-371)."""
+    H = W = resolution
+    B, L, C = x.shape
+    if min(H, W) <= window_size:
+        window_size = min(H, W)
+        shift = 0
+
+    shortcut = x
+    x = layer_norm(x, p["norm1"])
+    x = x.reshape(B, H, W, C)
+    if shift > 0:
+        x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+
+    windows = window_partition(x, window_size)
+    mask = shifted_window_mask(H, window_size, shift) if shift > 0 else None
+    windows = window_attention(windows, p, num_heads, window_size, mask)
+
+    x = window_reverse(windows, window_size, H, W)
+    if shift > 0:
+        x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+    x = x.reshape(B, L, C)
+
+    x = shortcut + _drop_path(x, drop_path_rate, rng, 0)
+    h = layer_norm(x, p["norm2"])
+    h = gelu(h @ p["fc1"]["kernel"] + p["fc1"]["bias"])
+    h = h @ p["fc2"]["kernel"] + p["fc2"]["bias"]
+    return x + _drop_path(h, drop_path_rate, rng, 1)
+
+
+def _drop_path(x, rate, rng, salt):
+    """Stochastic depth (reference: htsat.py:58-73). Identity at eval."""
+    if rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    key = jax.random.fold_in(rng, salt)
+    mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x / keep * mask
+
+
+def patch_merging(x: jax.Array, p: dict, resolution: int) -> jax.Array:
+    """2x2 neighborhood concat -> LN -> Linear 4C->2C (htsat.py:478-499)."""
+    H = W = resolution
+    B, L, C = x.shape
+    x = x.reshape(B, H, W, C)
+    x = jnp.concatenate(
+        [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
+        axis=-1,
+    )
+    x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
+    x = layer_norm(x, p["norm"])
+    return x @ p["reduction"]["kernel"]
+
+
+def patch_embed(img: jax.Array, p: dict, patch: int, embed_dim: int) -> jax.Array:
+    """Conv2d(1, 96, 4, stride 4, pad 0) as space-to-depth + matmul
+    (htsat.py:86-116). img: (B, H, W) -> (B, (H/4)*(W/4), 96)."""
+    B, H, W = img.shape
+    x = img.reshape(B, H // patch, patch, W // patch, patch)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4))  # (B, gh, gw, ph, pw)
+    x = x.reshape(B, (H // patch) * (W // patch), patch * patch)
+    x = x @ p["kernel"] + p["bias"]
+    return layer_norm(x, p["norm"])
+
+
+# ---------------------------------------------------------------------------
+# full encoder
+# ---------------------------------------------------------------------------
+
+def swin_features(
+    img: jax.Array,  # (B, 256, 256)
+    params: dict,
+    cfg: HTSATConfig,
+    *,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Patch embed + 4 Swin stages + final LN -> (B, 64, 768) tokens."""
+    x = patch_embed(img, params["patch_embed"], cfg.patch_size, cfg.embed_dim)
+    res = cfg.grid_size  # 64
+    dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths))
+    bi = 0
+    for si, depth in enumerate(cfg.depths):
+        stage = params["stages"][si]
+        heads = cfg.num_heads[si]
+        for d in range(depth):
+            shift = 0 if d % 2 == 0 else cfg.window_size // 2
+            block_rng = None if rng is None else jax.random.fold_in(rng, bi)
+            x = swin_block(
+                x, stage["blocks"][d], res, heads, cfg.window_size, shift,
+                drop_path_rate=float(dpr[bi]) if rng is not None else 0.0,
+                rng=block_rng,
+            )
+            bi += 1
+        if "downsample" in stage:
+            x = patch_merging(x, stage["downsample"], res)
+            res //= 2
+    return layer_norm(x, params["norm"])
+
+
+def tscam_head(tokens: jax.Array, params: dict, cfg: HTSATConfig) -> dict:
+    """TSCAM head (reference: htsat.py:742-796): frequency grouping, latent
+    pooling, the (SF, 3) conv as an einsum, framewise/clipwise outputs."""
+    B, N, C = tokens.shape
+    SF = ST = cfg.spec_size // (2 ** (len(cfg.depths) - 1)) // cfg.patch_stride  # 8
+    x = jnp.transpose(tokens, (0, 2, 1)).reshape(B, C, SF, ST)
+    cfb = SF // cfg.freq_ratio  # 2
+    # (B, C, chunk=4, cfb=2, ST=8) -> (B, C, cfb, chunk*ST=32): undo the
+    # time fold, restoring 32 time steps x 2 freq bins (htsat.py:751-753).
+    x = x.reshape(B, C, SF // cfb, cfb, ST)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(B, C, cfb, (SF // cfb) * ST)
+
+    latent = jnp.mean(x.reshape(B, C, -1), axis=-1)  # (B, 768)
+
+    # tscam conv: kernel (527, 768, 2, 3), padding (0, 1) over (cfb, T).
+    w = params["tscam_conv"]["kernel"]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1)))
+    # im2col over the 3-wide time window; cfb dim contracts fully.
+    cols = jnp.stack([xp[..., t : t + x.shape[-1]] for t in range(3)], axis=-1)
+    # cols: (B, C, cfb, T, 3); w: (O, C, cfb, 3)
+    logits_t = jnp.einsum("bcftk,ocfk->bot", cols, w) + params["tscam_conv"]["bias"][None, :, None]
+    # (B, 527, 32)
+
+    fpx = jax.nn.sigmoid(logits_t)
+    fpx = jnp.transpose(fpx, (0, 2, 1))  # (B, 32, 527)
+    # interpolate ratio 32 = repeat each step (htsat.py:43-56, 780)
+    framewise = jnp.repeat(fpx, 32, axis=1)  # (B, 1024, 527)
+
+    clipwise = jax.nn.sigmoid(jnp.mean(logits_t, axis=-1))  # (B, 527)
+    return {
+        "framewise_output": framewise,
+        "clipwise_output": clipwise,
+        "latent_output": latent,
+    }
+
+
+def htsat_embedding(
+    wave: jax.Array,  # (B, 320000)
+    params: dict,
+    fe_cfg: FrontendConfig,
+    cfg: HTSATConfig,
+    *,
+    rng: Optional[jax.Array] = None,
+) -> dict:
+    """Full HTSATWrapper forward (htsat.py:943-955):
+    wave -> (B, 1025, 768) embedding + clip/frame outputs."""
+    enc = params["encoder"]
+    img = fe.frontend_image(wave, fe_cfg, enc["bn0"], cfg.freq_ratio, cfg.target_frames)
+    tokens = swin_features(img, enc, cfg, rng=rng)
+    out = tscam_head(tokens, enc, cfg)
+    oframe = out["framewise_output"] @ params["c2l"]["kernel"] + params["c2l"]["bias"]
+    out["embedding"] = jnp.concatenate([out["latent_output"][:, None], oframe], axis=1)
+    return out
+
+
+def projection(x: jax.Array, p: dict) -> jax.Array:
+    """768 -> 576 residual MLP + LayerNorm (reference: mellow.py:33-52;
+    dropout p=0.5 is train-only and elided at eval)."""
+    e1 = x @ p["linear1"]["kernel"]
+    e2 = gelu(e1) @ p["linear2"]["kernel"]
+    return layer_norm(e1 + e2, p["layer_norm"])
+
+
+def encode_audio(
+    wave: jax.Array,
+    params: dict,
+    fe_cfg: FrontendConfig,
+    cfg: HTSATConfig,
+) -> jax.Array:
+    """AudioEncoder.forward equivalent (mellow.py:64-68): (B, 320000) ->
+    projected (B, 1025, d_proj)."""
+    out = htsat_embedding(wave, params, fe_cfg, cfg)
+    return projection(out["embedding"], params["projection"])
+
+
+def downsample_tokens(x: jax.Array) -> jax.Array:
+    """Keep token 0, mean-pool tokens 1..1024 in groups of 8 -> (B, 129, D)
+    (reference: decoder.py:14-18)."""
+    B, N, D = x.shape
+    clip = x[:, :1]
+    pooled = x[:, 1:].reshape(B, (N - 1) // 8, 8, D).mean(axis=2)
+    return jnp.concatenate([clip, pooled], axis=1)

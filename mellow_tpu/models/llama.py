@@ -115,17 +115,17 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None):
     else:
         k_att, v_att = kv_slot
 
-    # GQA: repeat KV heads to match query heads.
+    # GQA without materializing repeated KV heads: group the query heads as
+    # (KV, rep) and contract against the KV heads directly (bandwidth
+    # matters far more than the reshape).
     rep = H // KV
-    k_full = jnp.repeat(k_att, rep, axis=2)  # (B, S_kv, H, hd)
-    v_full = jnp.repeat(v_att, rep, axis=2)
-
+    qg = q.reshape(B, S, KV, rep, hd)
     scale = 1.0 / np.sqrt(hd)
-    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k_full) * scale
+    attn = jnp.einsum("bqhrd,bkhd->bhrqk", qg, k_att) * scale
     if mask is not None:
-        attn = attn + mask
+        attn = attn + mask[:, :, None]  # mask: (B?, 1|H, q, k) -> broadcast rep
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-    o = jnp.einsum("bhqk,bkhd->bqhd", attn, v_full).reshape(B, S, H * hd)
+    o = jnp.einsum("bhrqk,bkhd->bqhrd", attn, v_att).reshape(B, S, H * hd)
     x = x + o @ lp["wo"]
 
     h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
@@ -235,14 +235,16 @@ def decode_step(
         k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0))
 
+        # GQA decode without repeating the cache: contract (KV, rep)-grouped
+        # queries against the cache heads directly. q is a single position:
+        # fold rep into the "query" axis of a (B, KV) batched matmul.
         rep = H // KV
-        k_full = jnp.repeat(k_cache, rep, axis=2)  # (B, S_max, H, hd)
-        v_full = jnp.repeat(v_cache, rep, axis=2)
+        qg = q.reshape(B, KV, rep, hd)  # S=1 squeezed
         scale = 1.0 / np.sqrt(hd)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k_full.astype(q.dtype)) * scale
-        attn = attn + mask
+        attn = jnp.einsum("bhrd,bkhd->bhrk", qg, k_cache.astype(q.dtype)) * scale
+        attn = attn + mask[0, 0]  # (1|B, 1, S_max) -> broadcast over (h, r)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v_full.astype(x.dtype))
+        o = jnp.einsum("bhrk,bkhd->bhrd", attn, v_cache.astype(x.dtype))
         x = x + o.reshape(B, 1, H * hd) @ lp["wo"]
 
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)

@@ -1,0 +1,225 @@
+"""Mellow model assembly: audio encoders + prefix + LM.
+
+Functional equivalent of the reference's ``Mellow`` module
+(mellow/model/mellow.py:70-108) and ``DecoderModel`` prefix logic
+(mellow/model/decoder.py:20-55), with the decode loop fused into one jitted
+program (prefill + while_loop; see mellow_tpu/models/generate.py).
+
+Full param tree:
+  params = {
+    "encoder": {...},  "c2l": {...}, "projection": {...},   # audio side
+    "decoder": {...},                                        # Llama LM
+  }
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mellow_tpu.config import MellowConfig
+from mellow_tpu.models import generate as gen
+from mellow_tpu.models import htsat, llama
+
+
+def build_prefix(
+    params,
+    cfg: MellowConfig,
+    audio_proj1: jax.Array,  # (B, 1025, 576)
+    audio_proj2: jax.Array,
+    text_ids: jax.Array,  # (B, 129) int32
+) -> jax.Array:
+    """(B, 389, 576) = [a1(129) | sep | a2(129) | sep | text(129)]
+    (reference: decoder.py:36-55; sep = embed(token 0) for smollm2)."""
+    a1 = htsat.downsample_tokens(audio_proj1)
+    a2 = htsat.downsample_tokens(audio_proj2)
+    embed = params["decoder"]["embed"]
+    dtext = embed[text_ids].astype(a1.dtype)
+    B = a1.shape[0]
+    sep = jnp.broadcast_to(
+        embed[cfg.sep_token_id][None, None, :], (B, 1, embed.shape[1])
+    ).astype(a1.dtype)
+    return jnp.concatenate([a1, sep, a2, sep, dtext], axis=1)
+
+
+def encode_and_prefix(
+    params, cfg: MellowConfig, audio1: jax.Array, audio2: jax.Array, text_ids: jax.Array
+) -> jax.Array:
+    """generate_prefix_inference equivalent (mellow.py:100-108)."""
+    p1 = htsat.encode_audio(audio1, params, cfg.frontend, cfg.encoder)
+    p2 = htsat.encode_audio(audio2, params, cfg.frontend, cfg.encoder)
+    return build_prefix(params, cfg, p1, p2, text_ids)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_len", "greedy", "cache_dtype")
+)
+def generate_tokens(
+    params,
+    cfg: MellowConfig,
+    audio1: jax.Array,  # (B, 320000)
+    audio2: jax.Array,
+    text_ids: jax.Array,  # (B, 129)
+    *,
+    max_len: int,
+    greedy: bool = True,
+    top_p: float = 0.8,
+    temperature: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    cache_dtype: str = "float32",
+    initial_done: Optional[jax.Array] = None,
+) -> gen.GenerateResult:
+    """End-to-end: two waveforms + prompt ids -> generated token ids.
+    One compiled program: encoder x2, prefix assembly, prefill, decode loop."""
+    prefix = encode_and_prefix(params, cfg, audio1, audio2, text_ids)
+    return gen.generate(
+        params["decoder"],
+        cfg.decoder,
+        prefix,
+        max_len=max_len,
+        stop_token_id=cfg.stop_token_id,
+        greedy=greedy,
+        top_p=top_p,
+        temperature=temperature,
+        rng=rng,
+        cache_dtype=cache_dtype,
+        initial_done=initial_done,
+    )
+
+
+def forward_train(
+    params,
+    cfg: MellowConfig,
+    audio1: jax.Array,
+    audio2: jax.Array,
+    text_ids: jax.Array,  # (B, 129) prompt
+    answer_ids: jax.Array,  # (B, T_ans) target tokens
+    answer_mask: jax.Array,  # (B, T_ans) 1 for real tokens
+    *,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, dict]:
+    """Training objective (reference: decoder.py:57-90 + mellow.py:89-98):
+    next-token CE over the answer span, prefix positions masked out.
+
+    Note: the reference's training forward is unreachable dead code and
+    crashes as written (``torch.cat((dummy_token, tokens))`` concatenates a
+    dict, decoder.py:88); this implements the documented intent — prefix
+    labels masked, CE over answer tokens (SURVEY.md section 3.5).
+    """
+    enc_rng = None if rng is None else jax.random.fold_in(rng, 0)
+    p1 = htsat.encode_audio(audio1, params, cfg.frontend, cfg.encoder)
+    p2 = htsat.encode_audio(audio2, params, cfg.frontend, cfg.encoder)
+    prefix = build_prefix(params, cfg, p1, p2, text_ids)  # (B, 389, D)
+
+    embed = params["decoder"]["embed"]
+    ans_emb = embed[answer_ids].astype(prefix.dtype)
+    seq = jnp.concatenate([prefix, ans_emb], axis=1)  # (B, 389+T, D)
+
+    logits = llama.forward(params["decoder"], cfg.decoder, seq)
+    P = prefix.shape[1]
+    # Position P-1+t predicts answer token t.
+    pred = logits[:, P - 1 : -1, :]  # (B, T_ans, V)
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
+    tok_lp = jnp.take_along_axis(logp, answer_ids[..., None], axis=-1)[..., 0]
+    mask = answer_mask.astype(jnp.float32)
+    loss = -(tok_lp * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    metrics = {
+        "loss": loss,
+        "num_answer_tokens": mask.sum(),
+        "accuracy": ((jnp.argmax(pred, -1) == answer_ids) * mask).sum()
+        / jnp.maximum(mask.sum(), 1.0),
+    }
+    return loss, metrics
+
+
+def count_params(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def init_params(rng: jax.Array, cfg: MellowConfig, dtype=jnp.float32):
+    """Random full-model init (offline testing / training from scratch).
+    Real inference weights come from tools/convert_ckpt.py."""
+    import numpy as np
+
+    enc_cfg = cfg.encoder
+    # numpy RNG seeded from the JAX key: one host-side generator instead of
+    # hundreds of tiny eagerly-compiled device programs (init is a testing /
+    # training-bootstrap path; checkpoints are the production path).
+    seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1])
+    gen_np = np.random.default_rng(seed)
+
+    def nrm(shape, std=0.02):
+        return jnp.asarray(gen_np.normal(0.0, std, shape), dtype)
+
+    def ln(dim):
+        return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+    def lin(i, o, bias=True):
+        p = {"kernel": nrm((i, o))}
+        if bias:
+            p["bias"] = jnp.zeros((o,), dtype)
+        return p
+
+    stages = []
+    res_dim = enc_cfg.embed_dim
+    for si, depth in enumerate(enc_cfg.depths):
+        heads = enc_cfg.num_heads[si]
+        blocks = []
+        for _ in range(depth):
+            blocks.append(
+                {
+                    "norm1": ln(res_dim),
+                    "qkv": lin(res_dim, 3 * res_dim),
+                    "proj": lin(res_dim, res_dim),
+                    "rel_bias_table": nrm(
+                        ((2 * enc_cfg.window_size - 1) ** 2, heads)
+                    ),
+                    "norm2": ln(res_dim),
+                    "fc1": lin(res_dim, 4 * res_dim),
+                    "fc2": lin(4 * res_dim, res_dim),
+                }
+            )
+        stage = {"blocks": blocks}
+        if si < len(enc_cfg.depths) - 1:
+            stage["downsample"] = {
+                "norm": ln(4 * res_dim),
+                "reduction": lin(4 * res_dim, 2 * res_dim, bias=False),
+            }
+            res_dim *= 2
+        stages.append(stage)
+
+    nf = enc_cfg.num_features
+    nc = enc_cfg.num_classes
+    encoder = {
+        "bn0": {
+            "scale": jnp.ones((64,), dtype),
+            "bias": jnp.zeros((64,), dtype),
+            "mean": jnp.zeros((64,), dtype),
+            "var": jnp.ones((64,), dtype),
+        },
+        "patch_embed": {
+            "kernel": nrm((enc_cfg.patch_size ** 2, enc_cfg.embed_dim)),
+            "bias": jnp.zeros((enc_cfg.embed_dim,), dtype),
+            "norm": ln(enc_cfg.embed_dim),
+        },
+        "stages": stages,
+        "norm": ln(nf),
+        "tscam_conv": {
+            "kernel": nrm((nc, nf, 2, 3)),
+            "bias": jnp.zeros((nc,), dtype),
+        },
+        "head": lin(nc, nc),
+    }
+    return {
+        "encoder": encoder,
+        "c2l": lin(nc, nf),
+        "projection": {
+            "linear1": lin(nf, cfg.d_proj, bias=False),
+            "linear2": lin(cfg.d_proj, cfg.d_proj, bias=False),
+            "layer_norm": ln(cfg.d_proj),
+        },
+        "decoder": llama.init_params(jax.random.fold_in(rng, 1), cfg.decoder, dtype),
+    }

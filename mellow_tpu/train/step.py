@@ -1,0 +1,72 @@
+"""Training step: loss + grad + optax update, SPMD-ready.
+
+The reference ships no training code (README.md:119-120 defers to an absent
+'training' branch; its dead training forward at decoder.py:57-90 documents
+the objective). This implements that objective (next-token CE over answer
+tokens, prefix masked — see mellow_tpu/models/mellow.py::forward_train) as a
+single jitted step compatible with a (data, model) mesh: params carry their
+NamedShardings, the batch is DP-sharded on its leading axis, gradients are
+averaged by XLA's collectives automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mellow_tpu.config import MellowConfig
+from mellow_tpu.models import mellow as mellow_model
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.01,
+    warmup_steps: int = 100,
+    total_steps: int = 10_000,
+    max_grad_norm: float = 1.0,
+) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, learning_rate, warmup_steps, total_steps
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+
+
+def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "optimizer"), donate_argnames=("state",)
+)
+def train_step(
+    state: TrainState,
+    cfg: MellowConfig,
+    optimizer: optax.GradientTransformation,
+    batch: dict,  # audio1, audio2, text_ids, answer_ids, answer_mask
+    rng: jax.Array,
+) -> Tuple[TrainState, dict]:
+    def loss_fn(params):
+        return mellow_model.forward_train(
+            params, cfg,
+            batch["audio1"], batch["audio2"], batch["text_ids"],
+            batch["answer_ids"], batch["answer_mask"], rng=rng,
+        )
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return TrainState(params, opt_state, state.step + 1), metrics

@@ -1,0 +1,140 @@
+"""HTSAT encoder parity vs the torch oracle (tests/oracles/torch_htsat.py,
+which restates mellow/model/htsat.py with reference-compatible state_dict
+keys so the checkpoint converter is exercised on every run)."""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from mellow_tpu.config import FrontendConfig, HTSATConfig
+from mellow_tpu.models import htsat as jhtsat
+from mellow_tpu.ops import frontend as fe
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from tools.convert_ckpt import convert_encoder_bundle  # noqa: E402
+from tests.oracles import torch_htsat as oracle  # noqa: E402
+
+CFG = HTSATConfig()
+FE = FrontendConfig()
+
+
+def _to_ref_layout(wrapper: "oracle.OracleWrapper") -> dict:
+    """Rename oracle keys to the reference checkpoint layout
+    (audio_encoder.base.htsat.*, audio_encoder.base.c2l.*,
+    audio_encoder.projection.*; SURVEY.md section 5.4)."""
+    sd = {}
+    for k, v in wrapper.state_dict().items():
+        if k.startswith("htsat.") or k.startswith("c2l."):
+            sd["audio_encoder.base." + k] = v
+        else:  # linear1 / linear2 / layer_norm
+            sd["audio_encoder.projection." + k] = v
+    return sd
+
+
+@pytest.fixture(scope="module")
+def pair():
+    torch.manual_seed(0)
+    wrapper = oracle.OracleWrapper()
+    # Give bn0 non-trivial running stats.
+    with torch.no_grad():
+        bn = wrapper.htsat.bn0
+        bn.running_mean.copy_(torch.randn(64) * 2)
+        bn.running_var.copy_(torch.rand(64) * 3 + 0.5)
+        bn.weight.copy_(torch.randn(64) * 0.5 + 1)
+        bn.bias.copy_(torch.randn(64) * 0.1)
+    wrapper.eval()
+    params = jax.tree.map(jnp.asarray, convert_encoder_bundle(_to_ref_layout(wrapper)))
+    return wrapper, params
+
+
+def test_window_attention_parity():
+    torch.manual_seed(1)
+    dim, ws, heads = 96, 8, 4
+    mod = oracle.WindowAttention(dim, ws, heads).eval()
+    x = torch.randn(6, ws * ws, dim)
+    with torch.no_grad():
+        ref = mod(x).numpy()
+    p = {
+        "qkv": {"kernel": jnp.asarray(mod.qkv.weight.detach().numpy().T),
+                "bias": jnp.asarray(mod.qkv.bias.detach().numpy())},
+        "proj": {"kernel": jnp.asarray(mod.proj.weight.detach().numpy().T),
+                 "bias": jnp.asarray(mod.proj.bias.detach().numpy())},
+        "rel_bias_table": jnp.asarray(mod.relative_position_bias_table.detach().numpy()),
+    }
+    ours = np.asarray(
+        jhtsat.window_attention(jnp.asarray(x.numpy()), p, heads, ws, None)
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_shifted_window_mask_matches_oracle():
+    blk = oracle.SwinBlock(32, 16, 2, 8, 4)
+    ref = blk.attn_mask.numpy()
+    ours = jhtsat.shifted_window_mask(16, 8, 4)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_full_encoder_parity_on_image(pair):
+    """Swin trunk + TSCAM + c2l + projection on a random spec image."""
+    wrapper, params = pair
+    rng = np.random.RandomState(0)
+    img = rng.randn(2, 1, 256, 256).astype(np.float32)
+    with torch.no_grad():
+        ref = wrapper(torch.from_numpy(img))
+
+    tokens = jhtsat.swin_features(jnp.asarray(img[:, 0]), params["encoder"], CFG)
+    out = jhtsat.tscam_head(tokens, params["encoder"], CFG)
+    oframe = out["framewise_output"] @ params["c2l"]["kernel"] + params["c2l"]["bias"]
+    emb = jnp.concatenate([out["latent_output"][:, None], oframe], axis=1)
+    proj = jhtsat.projection(emb, params["projection"])
+
+    np.testing.assert_allclose(
+        np.asarray(out["latent_output"]), ref["latent_output"].numpy(), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["framewise_output"]), ref["framewise_output"].numpy(), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["clipwise_output"]), ref["clipwise_output"].numpy(), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(emb), ref["embedding"].numpy(), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(proj), ref["projected"].numpy(), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_wave_to_projection_parity(pair):
+    """Whole audio path: waveform -> projected (B, 1025, 576), with the
+    oracle front-end composed from validated torch pieces."""
+    wrapper, params = pair
+    rng = np.random.RandomState(1)
+    wave = (rng.randn(1, FE.num_samples) * 0.1).astype(np.float32)
+
+    mel_fb = fe.mel_filterbank(FE.sample_rate, FE.n_fft, FE.n_mels, FE.fmin, FE.fmax)
+    with torch.no_grad():
+        img = oracle.oracle_frontend_image(wave, wrapper.htsat.bn0, mel_fb)
+        ref = wrapper(img)
+
+    proj = jhtsat.encode_audio(jnp.asarray(wave), params, FE, CFG)
+    np.testing.assert_allclose(
+        np.asarray(proj), ref["projected"].numpy(), atol=5e-4, rtol=5e-3
+    )
+
+
+def test_downsample_matches_torch_avgpool(pair):
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 1025, 576).astype(np.float32)
+    t = torch.from_numpy(x)
+    ref = torch.cat(
+        [t[:, :1], F.avg_pool2d(t[:, 1:], kernel_size=(8, 1))], dim=1
+    ).numpy()  # decoder.py:14-18
+    ours = np.asarray(jhtsat.downsample_tokens(jnp.asarray(x)))
+    assert ours.shape == (2, 129, 576)
+    np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=1e-5)

@@ -158,6 +158,38 @@ def convert_htsat(sd, prefix: str = "audio_encoder.base.htsat.") -> dict:
     }
 
 
+def convert_encoder_bundle(sd, base_prefix: str = "audio_encoder.") -> dict:
+    """Audio side: HTSAT + c2l + projection -> the tree consumed by
+    mellow_tpu.models.htsat.encode_audio."""
+    return {
+        "encoder": convert_htsat(sd, prefix=base_prefix + "base.htsat."),
+        "c2l": {
+            "kernel": _np(sd[base_prefix + "base.c2l.weight"]).astype(np.float32).T,
+            "bias": _np(sd[base_prefix + "base.c2l.bias"]).astype(np.float32),
+        },
+        "projection": {
+            "linear1": {
+                "kernel": _np(sd[base_prefix + "projection.linear1.weight"])
+                .astype(np.float32)
+                .T
+            },
+            "linear2": {
+                "kernel": _np(sd[base_prefix + "projection.linear2.weight"])
+                .astype(np.float32)
+                .T
+            },
+            "layer_norm": {
+                "scale": _np(sd[base_prefix + "projection.layer_norm.weight"]).astype(
+                    np.float32
+                ),
+                "bias": _np(sd[base_prefix + "projection.layer_norm.bias"]).astype(
+                    np.float32
+                ),
+            },
+        },
+    }
+
+
 def convert_mellow(sd, num_layers: int = 30) -> dict:
     """Full Mellow state_dict -> param tree. Asserts exact key coverage."""
     used = set()
@@ -172,34 +204,8 @@ def convert_mellow(sd, num_layers: int = 30) -> dict:
 
     tsd = Tracking(sd)
 
-    params = {
-        "encoder": convert_htsat(tsd),
-        "c2l": {
-            "kernel": _np(tsd["audio_encoder.base.c2l.weight"]).astype(np.float32).T,
-            "bias": _np(tsd["audio_encoder.base.c2l.bias"]).astype(np.float32),
-        },
-        "projection": {
-            "linear1": {
-                "kernel": _np(tsd["audio_encoder.projection.linear1.weight"])
-                .astype(np.float32)
-                .T
-            },
-            "linear2": {
-                "kernel": _np(tsd["audio_encoder.projection.linear2.weight"])
-                .astype(np.float32)
-                .T
-            },
-            "layer_norm": {
-                "scale": _np(tsd["audio_encoder.projection.layer_norm.weight"]).astype(
-                    np.float32
-                ),
-                "bias": _np(tsd["audio_encoder.projection.layer_norm.bias"]).astype(
-                    np.float32
-                ),
-            },
-        },
-        "decoder": convert_llama(tsd, num_layers, prefix="caption_decoder.lm."),
-    }
+    params = convert_encoder_bundle(tsd)
+    params["decoder"] = convert_llama(tsd, num_layers, prefix="caption_decoder.lm.")
 
     # Coverage check (SURVEY.md section 7.3 item 8): every ckpt key must be consumed
     # or on the explicit ignore list.
@@ -220,51 +226,13 @@ def convert_mellow(sd, num_layers: int = 30) -> dict:
     return params
 
 
-# ---------------------------------------------------------------------------
-# npz (de)serialization of nested trees
-# ---------------------------------------------------------------------------
-
-def flatten_tree(tree, prefix=""):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(flatten_tree(v, f"{prefix}{k}/"))
-    elif isinstance(tree, (list, tuple)):
-        for i, v in enumerate(tree):
-            out.update(flatten_tree(v, f"{prefix}[{i}]/"))
-    else:
-        out[prefix[:-1]] = np.asarray(tree)
-    return out
-
-
-def unflatten_tree(flat: Dict[str, np.ndarray]):
-    root: dict = {}
-    for key, val in flat.items():
-        parts = key.split("/")
-        node = root
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = val
-
-    def listify(node):
-        if not isinstance(node, dict):
-            return node
-        if node and all(k.startswith("[") and k.endswith("]") for k in node):
-            return [
-                listify(node[f"[{i}]"]) for i in range(len(node))
-            ]
-        return {k: listify(v) for k, v in node.items()}
-
-    return listify(root)
-
-
-def save_params(params, path: str) -> None:
-    np.savez(path, **flatten_tree(params))
-
-
-def load_params(path: str):
-    with np.load(path) as z:
-        return unflatten_tree({k: z[k] for k in z.files})
+# npz (de)serialization lives in the torch-free runtime package.
+from mellow_tpu.utils.params_io import (  # noqa: E402,F401
+    flatten_tree,
+    load_params,
+    save_params,
+    unflatten_tree,
+)
 
 
 def main(argv):
