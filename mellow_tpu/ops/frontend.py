@@ -187,6 +187,16 @@ def log_mel_spectrogram(wave: jax.Array, cfg: FrontendConfig) -> jax.Array:
     return logmel(power_spectrogram(wave, cfg), cfg)
 
 
+def log_mel_auto(wave: jax.Array, cfg: FrontendConfig) -> jax.Array:
+    """Backend-dispatched log-mel: the fused Pallas kernel on TPU (when the
+    shapes match its specialization), the jnp reference elsewhere."""
+    if jax.default_backend() in ("tpu", "axon") and cfg.n_fft == 1024 and cfg.hop_length == 320:
+        from mellow_tpu.ops.pallas_melspec import log_mel_spectrogram_pallas
+
+        return log_mel_spectrogram_pallas(wave, cfg)
+    return log_mel_spectrogram(wave, cfg)
+
+
 def batchnorm_mel(x: jax.Array, bn: dict, eps: float = 1e-5) -> jax.Array:
     """Eval-mode BatchNorm2d over the mel axis (reference: bn0 applied with
     mel-as-channels via transpose, htsat.py:657,868-870). x: (B, T, n_mels)."""
@@ -216,7 +226,7 @@ def fold_time_to_freq(x: jax.Array, freq_ratio: int) -> jax.Array:
 def frontend_image(wave: jax.Array, fe_cfg: FrontendConfig, bn0: dict, freq_ratio: int, target_frames: int) -> jax.Array:
     """Full front-end: waveform -> (B, 256, 256) spectrogram image ready for
     patch embedding. Mirrors htsat.py:864-870 + 937-938."""
-    x = log_mel_spectrogram(wave, fe_cfg)  # (B, 1001, 64)
+    x = log_mel_auto(wave, fe_cfg)  # (B, 1001, 64)
     x = batchnorm_mel(x, bn0)
     x = resize_time_bicubic(x, target_frames)  # (B, 1024, 64)
     return fold_time_to_freq(x, freq_ratio)  # (B, 256, 256)
