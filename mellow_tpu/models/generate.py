@@ -89,12 +89,19 @@ def generate(
     cos_full, sin_full = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
     hidden, cache = llama.prefill(params, cfg, prefix_embeds, cache)
+    # Seed the deferred-write pipeline with the last prefix position's k/v
+    # (flushing it is a semantic no-op; see llama.decode_step docstring).
+    pending0 = (
+        jax.lax.dynamic_slice_in_dim(cache.k, P - 1, 1, axis=2),
+        jax.lax.dynamic_slice_in_dim(cache.v, P - 1, 1, axis=2),
+    )
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     class State(NamedTuple):
         cache: KVCache
+        pending: tuple
         tokens: jax.Array  # (B, max_len)
         last_hidden: jax.Array  # (B, D)
         t: jax.Array  # scalar int32
@@ -113,13 +120,14 @@ def generate(
         tokens = jax.lax.dynamic_update_slice(s.tokens, next_tok[:, None], (0, s.t))
         done = jnp.logical_or(s.done, next_tok == stop_token_id)
         tok_embed = params["embed"][next_tok].astype(dtype)  # (B, D)
-        hidden, cache = llama.decode_step(
-            params, cfg, tok_embed, s.cache, cos_full, sin_full
+        hidden, cache, pending = llama.decode_step(
+            params, cfg, tok_embed, s.cache, cos_full, sin_full, s.pending
         )
-        return State(cache, tokens, hidden, s.t + 1, done, rng)
+        return State(cache, pending, tokens, hidden, s.t + 1, done, rng)
 
     init = State(
         cache=cache,
+        pending=pending0,
         tokens=jnp.zeros((B, max_len), jnp.int32),
         last_hidden=hidden,
         t=jnp.zeros((), jnp.int32),

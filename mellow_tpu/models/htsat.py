@@ -286,9 +286,12 @@ def htsat_embedding(
     """Full HTSATWrapper forward (htsat.py:943-955):
     wave -> (B, 1025, 768) embedding + clip/frame outputs."""
     enc = params["encoder"]
-    img = fe.frontend_image(wave, fe_cfg, enc["bn0"], cfg.freq_ratio, cfg.target_frames)
-    tokens = swin_features(img, enc, cfg, rng=rng)
-    out = tscam_head(tokens, enc, cfg)
+    with jax.named_scope("encoder/frontend"):
+        img = fe.frontend_image(wave, fe_cfg, enc["bn0"], cfg.freq_ratio, cfg.target_frames)
+    with jax.named_scope("encoder/swin"):
+        tokens = swin_features(img, enc, cfg, rng=rng)
+    with jax.named_scope("encoder/tscam"):
+        out = tscam_head(tokens, enc, cfg)
     oframe = out["framewise_output"] @ params["c2l"]["kernel"] + params["c2l"]["bias"]
     out["embedding"] = jnp.concatenate([out["latent_output"][:, None], oframe], axis=1)
     return out

@@ -41,8 +41,16 @@ from mellow_tpu.config import LlamaConfig
 class KVCache(NamedTuple):
     """Static-shape per-layer KV cache.
 
-    k, v: (L, B, S_max, KV_heads, head_dim). ``length`` is the number of
-    valid positions (a traced scalar inside the decode loop).
+    k, v: (L, B, S_max, KV_heads * head_dim) — KV heads PACKED into the lane
+    dimension. Two hardware reasons (measured on v5e-1):
+      * a trailing head_dim of 64 pads to the 128-lane tile, doubling the
+        cache's physical footprint and HBM traffic;
+      * the per-step position write becomes one contiguous (L, B, 1, 192)
+        row scatter (~0.5 ms) instead of a strided 64-wide scatter (~1.8 ms).
+    Attention contracts directly over the packed 192 dim using
+    block-diagonal dense queries (see ``_dense_queries``) — no per-step
+    cache transpose or reshape ever touches HBM.
+    ``length`` is the number of valid positions (traced scalar).
     """
 
     k: jax.Array
@@ -51,7 +59,7 @@ class KVCache(NamedTuple):
 
     @staticmethod
     def create(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) -> "KVCache":
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads * cfg.head_dim)
         return KVCache(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -103,12 +111,13 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None):
     B, S, D = x.shape
     H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
-    q = (h @ lp["wq"]).reshape(B, S, H, hd)
-    k = (h @ lp["wk"]).reshape(B, S, KV, hd)
-    v = (h @ lp["wv"]).reshape(B, S, KV, hd)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    with jax.named_scope("decoder/attn_proj"):
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+        q = (h @ lp["wq"]).reshape(B, S, H, hd)
+        k = (h @ lp["wk"]).reshape(B, S, KV, hd)
+        v = (h @ lp["wv"]).reshape(B, S, KV, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
 
     if kv_slot is None:
         k_att, v_att = k, v
@@ -190,9 +199,13 @@ def prefill(
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(body, inputs_embeds, params["layers"])
-    # ks: (L, B, S, KV, hd) -> write into cache[:, :, :S]
-    new_k = jax.lax.dynamic_update_slice(cache.k, ks.astype(cache.k.dtype), (0, 0, 0, 0, 0))
-    new_v = jax.lax.dynamic_update_slice(cache.v, vs.astype(cache.v.dtype), (0, 0, 0, 0, 0))
+    # ks: (L, B, S, KV, hd) -> packed (L, B, S, KV*hd); (KV, hd) are adjacent
+    # so this is a pure view, no transpose.
+    L_, B_, S_ = ks.shape[:3]
+    ks = ks.reshape(L_, B_, S_, -1)
+    vs = vs.reshape(L_, B_, S_, -1)
+    new_k = jax.lax.dynamic_update_slice(cache.k, ks.astype(cache.k.dtype), (0, 0, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(cache.v, vs.astype(cache.v.dtype), (0, 0, 0, 0))
     x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
     return x[:, -1, :], KVCache(new_k, new_v, jnp.asarray(S, jnp.int32))
 
@@ -204,22 +217,45 @@ def decode_step(
     cache: KVCache,
     cos_full: jax.Array,  # (S_max, hd) precomputed rope tables
     sin_full: jax.Array,
-) -> Tuple[jax.Array, KVCache]:
-    """One incremental decode step. Returns (last hidden (B, D), new cache)."""
+    pending: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> Tuple[jax.Array, KVCache, Tuple[jax.Array, jax.Array]]:
+    """One incremental decode step.
+
+    Cache-aliasing design (the whole point of this structure): XLA copies a
+    loop-carried buffer that is read and THEN scatter-written in the same
+    iteration (~4 ms/step for this cache on v5e-1). So the cache is only
+    ever written at the TOP of a step — ``pending`` carries the previous
+    step's per-layer k/v (tiny, (L, B, KV, 1, hd)) and is flushed
+    write-before-read, which XLA aliases in place. The current token's k/v
+    never enter the cache during its own step; attention handles it as an
+    explicit extra position (two-part flash-style softmax).
+
+    Returns (last hidden (B, D), cache, new_pending). The final step's
+    pending never needs flushing (nothing reads past the loop).
+    """
     B, D = token_embed.shape
     L = cfg.num_layers
     KV, H, hd = cfg.num_kv_heads, cfg.num_heads, cfg.head_dim
+    rep = H // KV
     S_max = cache.k.shape[2]
     pos = cache.length  # scalar int32
     x = token_embed[:, None, :]  # (B, 1, D)
 
+    if pending is not None:
+        pk, pv = pending  # (L, B, 1, KV*hd) — one contiguous row per (l, b)
+        new_k = jax.lax.dynamic_update_slice(cache.k, pk, (0, 0, pos - 1, 0))
+        new_v = jax.lax.dynamic_update_slice(cache.v, pv, (0, 0, pos - 1, 0))
+        cache = KVCache(new_k, new_v, pos)
+
     cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, 1, axis=0)  # (1, hd)
     sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, 1, axis=0)
 
-    # Valid-position mask over the cache (positions <= pos are attendable
-    # once the new token is written at index pos).
     kpos = jnp.arange(S_max)
-    mask = jnp.where(kpos[None, None, None, :] <= pos, 0.0, -jnp.inf).astype(jnp.float32)
+    mask = jnp.where(kpos[None, :] < pos, 0.0, -jnp.inf).astype(jnp.float32)  # (1, S_max)
+    # Block-diagonal expansion: query head h = (g, r) only contracts with KV
+    # head g's 64-dim block of the packed 192-dim cache rows. eye-einsum
+    # fuses to a masked broadcast — no scatter.
+    eye = jnp.eye(KV, dtype=token_embed.dtype)
 
     def body(carry, scanned):
         x, = carry
@@ -231,31 +267,48 @@ def decode_step(
         v = (h @ lp["wv"]).reshape(B, 1, KV, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        k_cur = k.reshape(B, 1, KV * hd)  # packed, view only
+        v_cur = v.reshape(B, 1, KV * hd)
 
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0))
+        qg = q.reshape(B, KV, rep, hd)
+        q_dense = jnp.einsum("bgrd,gk->bgrkd", qg, eye).reshape(B, H, KV * hd)
 
-        # GQA decode without repeating the cache: contract (KV, rep)-grouped
-        # queries against the cache heads directly. q is a single position:
-        # fold rep into the "query" axis of a (B, KV) batched matmul.
-        rep = H // KV
-        qg = q.reshape(B, KV, rep, hd)  # S=1 squeezed
         scale = 1.0 / np.sqrt(hd)
-        attn = jnp.einsum("bhrd,bkhd->bhrk", qg, k_cache.astype(q.dtype)) * scale
-        attn = attn + mask[0, 0]  # (1|B, 1, S_max) -> broadcast over (h, r)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhrk,bkhd->bhrd", attn, v_cache.astype(x.dtype))
-        x = x + o.reshape(B, 1, H * hd) @ lp["wo"]
+        s_cache = (
+            jnp.einsum("bqd,bsd->bqs", q_dense, k_cache.astype(q.dtype)) * scale
+        )
+        s_cache = (s_cache + mask).astype(jnp.float32)  # (B, H, S_max)
+        s_cur = (
+            jnp.einsum("bqd,bsd->bqs", q_dense, k_cur) * scale
+        ).astype(jnp.float32)  # (B, H, 1)
+        # Joint softmax over [cache | current] without materializing the
+        # concatenation (two-part flash-style normalization).
+        m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True), s_cur)
+        e_cache = jnp.exp(s_cache - m).astype(x.dtype)
+        e_cur = jnp.exp(s_cur - m).astype(x.dtype)
+        denom = jnp.sum(e_cache, axis=-1, keepdims=True) + e_cur
+        o_dense = jnp.einsum("bqs,bsd->bqd", e_cache, v_cache.astype(x.dtype))
+        o_dense = o_dense + e_cur * v_cur  # (B, H, KV*hd)
+        # Extract each query head's own KV block (the rest are cross-head
+        # sums that the block-diagonal q kept meaningful only on-block for
+        # scores; for values we must select block g explicitly).
+        o = jnp.einsum(
+            "bgrkd,gk->bgrd", o_dense.reshape(B, KV, rep, KV, hd), eye
+        )
+        o = (o / denom.reshape(B, KV, rep, 1)).reshape(B, 1, H * hd)
+        x = x + o @ lp["wo"]
 
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         gate = jax.nn.silu(h @ lp["w_gate"])
         up = h @ lp["w_up"]
         x = x + (gate * up) @ lp["w_down"]
-        return (x,), (k_cache, v_cache)
+        return (x,), (k_cur.astype(cache.k.dtype), v_cur.astype(cache.v.dtype))
 
-    (x,), (new_k, new_v) = jax.lax.scan(body, (x,), (params["layers"], cache.k, cache.v))
+    (x,), (ks, vs) = jax.lax.scan(body, (x,), (params["layers"], cache.k, cache.v))
+    # ks, vs: (L, B, 1, KV*hd) — deferred to the NEXT step's flush so the
+    # cache write always precedes every read of the iteration (see docstring).
     x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
-    return x[:, 0, :], KVCache(new_k, new_v, pos + 1)
+    return x[:, 0, :], KVCache(cache.k, cache.v, pos + 1), (ks, vs)
 
 
 def init_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):

@@ -227,15 +227,23 @@ class MellowWrapper:
         paths2 = [e[1] for e in examples]
         prompts = [e[2] for e in examples]
 
+        from mellow_tpu.utils import profiling
+        from mellow_tpu.utils.metrics import GLOBAL as metrics
+
         audio1 = self.preprocess_audio(paths1, audio_resample, crop_start)
         audio2 = self.preprocess_audio(paths2, audio_resample, crop_start)
         text_ids = self.preprocess_text(prompts)
 
-        result, n_real = self._generate_device(
-            audio1, audio2, text_ids, max_len, top_p, temperature,
-            sample=sample, seed=seed,
-        )
-        return self._detokenize(result, n_real, stop_token)
+        with profiling.trace(), metrics.timer("generate"):
+            result, n_real = self._generate_device(
+                audio1, audio2, text_ids, max_len, top_p, temperature,
+                sample=sample, seed=seed,
+            )
+            texts = self._detokenize(result, n_real, stop_token)
+        metrics.count("tokens", n_real * int(result.num_steps))
+        metrics.count("clips", 2 * n_real)
+        metrics.count("generate_calls", 1)
+        return texts
 
     def _generate_device(
         self, audio1, audio2, text_ids, max_len, top_p, temperature,

@@ -68,9 +68,10 @@ def test_prefill_plus_decode_matches_full_forward(small_pair):
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
     step_logits = [llama.logits_from_hidden(params, SMALL, hidden)]
+    pending = None
     for t in range(extra):
-        hidden, cache = llama.decode_step(
-            params, SMALL, full[:, P + t], cache, cos, sin
+        hidden, cache, pending = llama.decode_step(
+            params, SMALL, full[:, P + t], cache, cos, sin, pending
         )
         step_logits.append(llama.logits_from_hidden(params, SMALL, hidden))
 
