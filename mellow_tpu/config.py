@@ -119,7 +119,11 @@ class MellowConfig:
     d_proj: int = 576  # projection output dim (v0.yaml:12)
     text_tokenization_len: int = 129  # v0.yaml:5
     prefix_length: int = 389  # v0.yaml:15
-    sep_token_id: int = 0  # smollm2 separator (decoder.py:49)
+    # Decoder family: "llama" (SmolLM2, the shipped checkpoints) or "gpt2"
+    # (the reference's alternate branch, decoder.py:26-27,41-45).
+    decoder_family: str = "llama"
+    text_decoder: str = "HuggingFaceTB/SmolLM2-135M"  # v0.yaml:14
+    sep_token_id: int = 0  # smollm2 separator (decoder.py:49); gpt2: 50256
     stop_token_id: int = 0  # '<|endoftext|>' for SmolLM2 (wrapper.py:208)
     projection_dropout: float = 0.5  # train only (mellow.py:39)
     # TPU execution knobs (new; the reference has no equivalents)
@@ -137,8 +141,9 @@ class MellowConfig:
         assert self.d_proj == dec.hidden_size, (
             "projection dim must equal LM hidden size (SURVEY.md 5.6)"
         )
-        assert dec.num_heads % dec.num_kv_heads == 0
-        assert dec.head_dim * dec.num_heads == dec.hidden_size
+        if self.decoder_family == "llama":
+            assert dec.num_heads % dec.num_kv_heads == 0
+            assert dec.head_dim * dec.num_heads == dec.hidden_size
         expected_prefix = 2 * self.audio_prefix_len + 2 + self.text_tokenization_len
         assert self.prefix_length == expected_prefix, (
             f"prefix_length {self.prefix_length} != derived {expected_prefix}"

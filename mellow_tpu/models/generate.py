@@ -64,11 +64,13 @@ def _sample_token(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_len", "stop_token_id", "greedy", "cache_dtype"),
+    static_argnames=(
+        "cfg", "max_len", "stop_token_id", "greedy", "cache_dtype", "family"
+    ),
 )
 def generate(
     params,
-    cfg: LlamaConfig,
+    cfg,  # LlamaConfig or GPT2Config (matching ``family``)
     prefix_embeds: jax.Array,  # (B, P, D)
     *,
     max_len: int,
@@ -79,21 +81,36 @@ def generate(
     rng: Optional[jax.Array] = None,
     cache_dtype: str = "float32",
     initial_done: Optional[jax.Array] = None,  # (B,) bool: padding rows
+    family: str = "llama",
 ) -> GenerateResult:
+    from mellow_tpu.models.decoders import get_decoder_ops
+
+    ops = get_decoder_ops(family)
     B, P, D = prefix_embeds.shape
     S_max = P + max_len
     dtype = prefix_embeds.dtype
-    cache = KVCache.create(cfg, B, S_max, jnp.dtype(cache_dtype))
+    cache = ops.create_cache(cfg, B, S_max, jnp.dtype(cache_dtype))
 
-    cos_np, sin_np = llama.rope_tables(cfg, S_max, dtype)
-    cos_full, sin_full = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    if family == "llama":
+        cos_np, sin_np = llama.rope_tables(cfg, S_max, dtype)
+        cos_full, sin_full = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
-    hidden, cache = llama.prefill(params, cfg, prefix_embeds, cache)
+        def step(tok_embed, cache, pending):
+            return llama.decode_step(
+                params, cfg, tok_embed, cache, cos_full, sin_full, pending
+            )
+    else:
+
+        def step(tok_embed, cache, pending):
+            return ops.decode_step(params, cfg, tok_embed, cache, pending)
+
+    hidden, cache = ops.prefill(params, cfg, prefix_embeds, cache)
     # Seed the deferred-write pipeline with the last prefix position's k/v
     # (flushing it is a semantic no-op; see llama.decode_step docstring).
+    axis = ops.cache_seq_axis
     pending0 = (
-        jax.lax.dynamic_slice_in_dim(cache.k, P - 1, 1, axis=2),
-        jax.lax.dynamic_slice_in_dim(cache.v, P - 1, 1, axis=2),
+        jax.lax.dynamic_slice_in_dim(cache.k, P - 1, 1, axis=axis),
+        jax.lax.dynamic_slice_in_dim(cache.v, P - 1, 1, axis=axis),
     )
 
     if rng is None:
@@ -111,18 +128,18 @@ def generate(
     def cond(s: State):
         return jnp.logical_and(s.t < max_len, ~jnp.all(s.done))
 
+    embed_table = ops.embed_table(params)
+
     def body(s: State):
-        logits = llama.logits_from_hidden(params, cfg, s.last_hidden)
+        logits = ops.logits_from_hidden(params, cfg, s.last_hidden)
         step_rng, rng = jax.random.split(s.rng)
         next_tok = _sample_token(
             logits, greedy=greedy, top_p=top_p, temperature=temperature, rng=step_rng
         )
         tokens = jax.lax.dynamic_update_slice(s.tokens, next_tok[:, None], (0, s.t))
         done = jnp.logical_or(s.done, next_tok == stop_token_id)
-        tok_embed = params["embed"][next_tok].astype(dtype)  # (B, D)
-        hidden, cache, pending = llama.decode_step(
-            params, cfg, tok_embed, s.cache, cos_full, sin_full, s.pending
-        )
+        tok_embed = embed_table[next_tok].astype(dtype)  # (B, D)
+        hidden, cache, pending = step(tok_embed, s.cache, s.pending)
         return State(cache, pending, tokens, hidden, s.t + 1, done, rng)
 
     init = State(

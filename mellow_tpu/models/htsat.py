@@ -286,8 +286,12 @@ def htsat_embedding(
     """Full HTSATWrapper forward (htsat.py:943-955):
     wave -> (B, 1025, 768) embedding + clip/frame outputs."""
     enc = params["encoder"]
+    aug_rng = None if rng is None else jax.random.fold_in(rng, 1000)
     with jax.named_scope("encoder/frontend"):
-        img = fe.frontend_image(wave, fe_cfg, enc["bn0"], cfg.freq_ratio, cfg.target_frames)
+        img = fe.frontend_image(
+            wave, fe_cfg, enc["bn0"], cfg.freq_ratio, cfg.target_frames,
+            augment_rng=aug_rng,
+        )
     with jax.named_scope("encoder/swin"):
         tokens = swin_features(img, enc, cfg, rng=rng)
     with jax.named_scope("encoder/tscam"):
@@ -297,11 +301,85 @@ def htsat_embedding(
     return out
 
 
-def projection(x: jax.Array, p: dict) -> jax.Array:
+def htsat_embedding_long(
+    wave: jax.Array,  # (B, T) with T > 10.24 s worth of samples
+    params: dict,
+    fe_cfg: FrontendConfig,
+    cfg: HTSATConfig,
+    *,
+    crop_frames: int = 689,
+    overlap_frames: int = 344,
+) -> dict:
+    """Long-audio sliding-window path (reference: htsat.py:908-936, eval
+    branch, hardcoded crop 689 / overlap 344): the log-mel is cropped at
+    static positions, every crop runs through the Swin trunk as ONE batched
+    call (crops folded into the batch dim — the TPU-shaped rewrite of the
+    reference's Python loop), and clip/frame/latent outputs are averaged.
+
+    Unreachable from the standard wrapper (which pre-crops to 10 s,
+    wrapper.py:154-167) but part of the reference surface."""
+    B = wave.shape[0]
+    enc = params["encoder"]
+    x = fe.log_mel_auto(wave, fe_cfg)  # (B, T_frames, 64)
+    x = fe.batchnorm_mel(x, enc["bn0"])
+    T = x.shape[1]
+    if T <= cfg.target_frames:
+        raise ValueError("use htsat_embedding for <= 10.24 s audio")
+    starts = list(range(0, T - crop_frames - 1, overlap_frames))
+    crops = jnp.stack([x[:, s : s + crop_frames] for s in starts], axis=0)
+    crops = crops.reshape(len(starts) * B, crop_frames, x.shape[2])
+    crops = fe.resize_time_bicubic(crops, cfg.target_frames)
+    img = fe.fold_time_to_freq(crops, cfg.freq_ratio)
+    tokens = swin_features(img, enc, cfg)
+    out = tscam_head(tokens, enc, cfg)
+    avg = {
+        k: jnp.mean(v.reshape((len(starts), B) + v.shape[1:]), axis=0)
+        for k, v in out.items()
+    }
+    oframe = avg["framewise_output"] @ params["c2l"]["kernel"] + params["c2l"]["bias"]
+    avg["embedding"] = jnp.concatenate(
+        [avg["latent_output"][:, None], oframe], axis=1
+    )
+    return avg
+
+
+def htsat_embedding_infer_mode(
+    wave: jax.Array,
+    params: dict,
+    fe_cfg: FrontendConfig,
+    cfg: HTSATConfig,
+) -> dict:
+    """infer_mode repeat path for short audio (reference: htsat.py:876-883):
+    repeat the log-mel floor(1024/T) times along time, then the standard
+    resize+fold+trunk. Never used by the wrapper; provided for surface
+    parity."""
+    enc = params["encoder"]
+    x = fe.log_mel_auto(wave, fe_cfg)
+    x = fe.batchnorm_mel(x, enc["bn0"])
+    T = x.shape[1]
+    repeat_ratio = max(1, cfg.target_frames // T)
+    x = jnp.tile(x, (1, repeat_ratio, 1))
+    if x.shape[1] > cfg.target_frames:
+        x = x[:, : cfg.target_frames]
+    x = fe.resize_time_bicubic(x, cfg.target_frames)
+    img = fe.fold_time_to_freq(x, cfg.freq_ratio)
+    tokens = swin_features(img, enc, cfg)
+    out = tscam_head(tokens, enc, cfg)
+    oframe = out["framewise_output"] @ params["c2l"]["kernel"] + params["c2l"]["bias"]
+    out["embedding"] = jnp.concatenate(
+        [out["latent_output"][:, None], oframe], axis=1
+    )
+    return out
+
+
+def projection(x: jax.Array, p: dict, *, dropout_rng=None, rate: float = 0.5) -> jax.Array:
     """768 -> 576 residual MLP + LayerNorm (reference: mellow.py:33-52;
-    dropout p=0.5 is train-only and elided at eval)."""
+    dropout p=0.5 on the second branch at train time, identity at eval)."""
     e1 = x @ p["linear1"]["kernel"]
     e2 = gelu(e1) @ p["linear2"]["kernel"]
+    if dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - rate, e2.shape)
+        e2 = jnp.where(keep, e2 / (1.0 - rate), 0.0)
     return layer_norm(e1 + e2, p["layer_norm"])
 
 
@@ -310,11 +388,15 @@ def encode_audio(
     params: dict,
     fe_cfg: FrontendConfig,
     cfg: HTSATConfig,
+    *,
+    rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """AudioEncoder.forward equivalent (mellow.py:64-68): (B, 320000) ->
-    projected (B, 1025, d_proj)."""
-    out = htsat_embedding(wave, params, fe_cfg, cfg)
-    return projection(out["embedding"], params["projection"])
+    projected (B, 1025, d_proj). ``rng`` enables the train-time stochastic
+    paths (SpecAugment, drop-path, projection dropout)."""
+    out = htsat_embedding(wave, params, fe_cfg, cfg, rng=rng)
+    drop_rng = None if rng is None else jax.random.fold_in(rng, 2000)
+    return projection(out["embedding"], params["projection"], dropout_rng=drop_rng)
 
 
 def downsample_tokens(x: jax.Array) -> jax.Array:

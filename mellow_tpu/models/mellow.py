@@ -34,9 +34,11 @@ def build_prefix(
 ) -> jax.Array:
     """(B, 389, 576) = [a1(129) | sep | a2(129) | sep | text(129)]
     (reference: decoder.py:36-55; sep = embed(token 0) for smollm2)."""
+    from mellow_tpu.models.decoders import get_decoder_ops
+
     a1 = htsat.downsample_tokens(audio_proj1)
     a2 = htsat.downsample_tokens(audio_proj2)
-    embed = params["decoder"]["embed"]
+    embed = get_decoder_ops(cfg.decoder_family).embed_table(params["decoder"])
     dtext = embed[text_ids].astype(a1.dtype)
     B = a1.shape[0]
     sep = jnp.broadcast_to(
@@ -87,6 +89,7 @@ def generate_tokens(
         rng=rng,
         cache_dtype=cache_dtype,
         initial_done=initial_done,
+        family=cfg.decoder_family,
     )
 
 
@@ -109,16 +112,20 @@ def forward_train(
     dict, decoder.py:88); this implements the documented intent — prefix
     labels masked, CE over answer tokens (SURVEY.md section 3.5).
     """
-    enc_rng = None if rng is None else jax.random.fold_in(rng, 0)
-    p1 = htsat.encode_audio(audio1, params, cfg.frontend, cfg.encoder)
-    p2 = htsat.encode_audio(audio2, params, cfg.frontend, cfg.encoder)
+    rng1 = None if rng is None else jax.random.fold_in(rng, 0)
+    rng2 = None if rng is None else jax.random.fold_in(rng, 1)
+    p1 = htsat.encode_audio(audio1, params, cfg.frontend, cfg.encoder, rng=rng1)
+    p2 = htsat.encode_audio(audio2, params, cfg.frontend, cfg.encoder, rng=rng2)
     prefix = build_prefix(params, cfg, p1, p2, text_ids)  # (B, 389, D)
 
-    embed = params["decoder"]["embed"]
+    from mellow_tpu.models.decoders import get_decoder_ops
+
+    ops = get_decoder_ops(cfg.decoder_family)
+    embed = ops.embed_table(params["decoder"])
     ans_emb = embed[answer_ids].astype(prefix.dtype)
     seq = jnp.concatenate([prefix, ans_emb], axis=1)  # (B, 389+T, D)
 
-    logits = llama.forward(params["decoder"], cfg.decoder, seq)
+    logits = ops.forward(params["decoder"], cfg.decoder, seq)
     P = prefix.shape[1]
     # Position P-1+t predicts answer token t.
     pred = logits[:, P - 1 : -1, :]  # (B, T_ans, V)
@@ -137,6 +144,12 @@ def forward_train(
 
 def count_params(params) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def _decoder_init(cfg: MellowConfig, rng: jax.Array, dtype):
+    from mellow_tpu.models.decoders import get_decoder_ops
+
+    return get_decoder_ops(cfg.decoder_family).init_params(rng, cfg.decoder, dtype)
 
 
 def init_params(rng: jax.Array, cfg: MellowConfig, dtype=jnp.float32):
@@ -221,5 +234,5 @@ def init_params(rng: jax.Array, cfg: MellowConfig, dtype=jnp.float32):
             "linear2": lin(cfg.d_proj, cfg.d_proj, bias=False),
             "layer_norm": ln(cfg.d_proj),
         },
-        "decoder": llama.init_params(jax.random.fold_in(rng, 1), cfg.decoder, dtype),
+        "decoder": _decoder_init(cfg, jax.random.fold_in(rng, 1), dtype),
     }

@@ -150,10 +150,12 @@ def bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
 
 def frame_signal(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
     """(B, T) -> (B, n_frames, n_fft) with center=True reflect padding
-    (torchlibrosa semantics, htsat.py:647-649)."""
+    (torchlibrosa semantics, htsat.py:647-649). n_frames derives from the
+    static input length (1 + T // hop), so arbitrary-length waves work."""
     pad = cfg.n_fft // 2
+    n_frames = 1 + x.shape[1] // cfg.hop_length
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    starts = np.arange(cfg.num_frames) * cfg.hop_length
+    starts = np.arange(n_frames) * cfg.hop_length
     # Gather frames via strided reshape: equivalent indices, static shapes.
     idx = starts[:, None] + np.arange(cfg.n_fft)[None, :]
     return x[:, idx]
@@ -190,7 +192,12 @@ def log_mel_spectrogram(wave: jax.Array, cfg: FrontendConfig) -> jax.Array:
 def log_mel_auto(wave: jax.Array, cfg: FrontendConfig) -> jax.Array:
     """Backend-dispatched log-mel: the fused Pallas kernel on TPU (when the
     shapes match its specialization), the jnp reference elsewhere."""
-    if jax.default_backend() in ("tpu", "axon") and cfg.n_fft == 1024 and cfg.hop_length == 320:
+    if (
+        jax.default_backend() in ("tpu", "axon")
+        and cfg.n_fft == 1024
+        and cfg.hop_length == 320
+        and wave.shape[1] == cfg.num_samples
+    ):
         from mellow_tpu.ops.pallas_melspec import log_mel_spectrogram_pallas
 
         return log_mel_spectrogram_pallas(wave, cfg)
@@ -223,10 +230,23 @@ def fold_time_to_freq(x: jax.Array, freq_ratio: int) -> jax.Array:
     return x.reshape(B, freq_ratio * F, chunk)
 
 
-def frontend_image(wave: jax.Array, fe_cfg: FrontendConfig, bn0: dict, freq_ratio: int, target_frames: int) -> jax.Array:
+def frontend_image(
+    wave: jax.Array,
+    fe_cfg: FrontendConfig,
+    bn0: dict,
+    freq_ratio: int,
+    target_frames: int,
+    *,
+    augment_rng=None,
+) -> jax.Array:
     """Full front-end: waveform -> (B, 256, 256) spectrogram image ready for
-    patch embedding. Mirrors htsat.py:864-870 + 937-938."""
+    patch embedding. Mirrors htsat.py:864-874 + 937-938 (SpecAugment applied
+    after bn0 at train time, exactly the reference's order)."""
     x = log_mel_auto(wave, fe_cfg)  # (B, 1001, 64)
     x = batchnorm_mel(x, bn0)
+    if augment_rng is not None:
+        from mellow_tpu.train.augment import spec_augment
+
+        x = spec_augment(x, augment_rng)
     x = resize_time_bicubic(x, target_frames)  # (B, 1024, 64)
     return fold_time_to_freq(x, freq_ratio)  # (B, 256, 256)

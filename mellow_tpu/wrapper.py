@@ -201,6 +201,10 @@ class MellowWrapper:
 
     def preprocess_text(self, prompts: Sequence[str]) -> np.ndarray:
         max_len = self.cfg.text_tokenization_len
+        if self.cfg.decoder_family == "gpt2":
+            # reference appends the eos string for gpt-family decoders
+            # (wrapper.py:185)
+            prompts = [p + " <|endoftext|>" for p in prompts]
         rows = [self.tokenizer.encode_padded(p, max_len) for p in prompts]
         return np.asarray(rows, dtype=np.int32)
 

@@ -138,3 +138,40 @@ def test_downsample_matches_torch_avgpool(pair):
     ours = np.asarray(jhtsat.downsample_tokens(jnp.asarray(x)))
     assert ours.shape == (2, 129, 576)
     np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=1e-5)
+
+
+def test_long_audio_sliding_window(pair):
+    """Long-audio path: batched-crops result must equal a per-crop loop
+    (the reference's Python loop, htsat.py:908-936) over the same trunk."""
+    wrapper, params = pair
+    rng = np.random.RandomState(3)
+    wave = jnp.asarray((rng.randn(1, 480000) * 0.1).astype(np.float32))  # 15 s
+
+    out = jhtsat.htsat_embedding_long(wave, params, FE, CFG)
+    assert out["embedding"].shape == (1, 1025, 768)
+    assert np.isfinite(np.asarray(out["embedding"])).all()
+
+    # Oracle: explicit loop over the same crops.
+    x = fe.log_mel_auto(wave, FE)
+    x = fe.batchnorm_mel(x, params["encoder"]["bn0"])
+    T = x.shape[1]
+    starts = list(range(0, T - 689 - 1, 344))
+    outs = []
+    for s in starts:
+        crop = fe.resize_time_bicubic(x[:, s : s + 689], CFG.target_frames)
+        img = fe.fold_time_to_freq(crop, CFG.freq_ratio)
+        tokens = jhtsat.swin_features(img, params["encoder"], CFG)
+        outs.append(jhtsat.tscam_head(tokens, params["encoder"], CFG))
+    lat = np.mean([np.asarray(o["latent_output"]) for o in outs], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(out["latent_output"]), lat, atol=1e-5, rtol=1e-5
+    )
+
+
+def test_infer_mode_repeat_path(pair):
+    _, params = pair
+    rng = np.random.RandomState(4)
+    wave = jnp.asarray((rng.randn(1, 96000) * 0.1).astype(np.float32))  # 3 s
+    out = jhtsat.htsat_embedding_infer_mode(wave, params, FE, CFG)
+    assert out["embedding"].shape == (1, 1025, 768)
+    assert np.isfinite(np.asarray(out["embedding"])).all()

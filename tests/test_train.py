@@ -1,0 +1,132 @@
+"""Training subsystem tests: augmentations, data pipeline, checkpoint
+save/resume, and a short overfit run (loss must drop)."""
+
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mellow_tpu.io.tokenizer import ByteTokenizer
+from mellow_tpu.models import mellow as jmellow
+from mellow_tpu.train import checkpoint as ckpt
+from mellow_tpu.train import step as step_mod
+from mellow_tpu.train.augment import mixup, sample_mixup_lambda, spec_augment
+from mellow_tpu.train.data import ReasonAQALoader, load_json
+from tests.test_wrapper import SMALL
+
+REF_WAV1 = "/root/reference/resource/1.wav"
+REF_WAV2 = "/root/reference/resource/2.wav"
+
+
+def test_spec_augment_masks_stripes():
+    x = jnp.ones((2, 100, 64))
+    out = np.asarray(spec_augment(x, jax.random.PRNGKey(0)))
+    assert out.shape == (2, 100, 64)
+    assert ((out == 0) | (out == 1)).all()
+    assert (out == 0).any()  # some stripes dropped
+    # deterministic under the same key
+    out2 = np.asarray(spec_augment(x, jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_mixup_matches_reference_formula():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 5, 3).astype(np.float32))
+    lam = sample_mixup_lambda(jax.random.PRNGKey(1), 4)
+    out = np.asarray(mixup(x, lam))
+    lam_np = np.asarray(lam)
+    # htsat.py:30-41: out = x[0::2]*lam[0::2] + x[1::2]*lam[1::2]
+    expect = (
+        np.asarray(x)[0::2] * lam_np[0::2, None, None]
+        + np.asarray(x)[1::2] * lam_np[1::2, None, None]
+    )
+    np.testing.assert_allclose(out, expect, rtol=1e-6)
+    np.testing.assert_allclose(lam_np[0::2] + lam_np[1::2], 1.0, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    rows = [
+        {
+            "taskname": "audiocaps",
+            "filepath1": REF_WAV1,
+            "filepath2": "",
+            "caption1": "street",
+            "caption2": "",
+            "input": "caption the audio.",
+            "answer": "a busy street",
+            "subtype": "AudioCaps.json",
+        },
+        {
+            "taskname": "clothov21",
+            "filepath1": REF_WAV2,
+            "filepath2": REF_WAV1,
+            "caption1": "x",
+            "caption2": "y",
+            "input": "explain the difference",
+            "answer": "quite different sounds",
+            "subtype": "ACD-1.json",
+        },
+    ] * 2
+    p = tmp_path_factory.mktemp("data") / "train.json"
+    p.write_text(json.dumps(rows))
+    return str(p)
+
+
+def test_loader_shapes(tiny_dataset):
+    examples = load_json(tiny_dataset)
+    assert len(examples) == 4
+    loader = ReasonAQALoader(
+        examples, ByteTokenizer(), SMALL, batch_size=2, answer_len=16
+    )
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["audio1"].shape == (2, 320000)
+    assert b["audio2"].shape == (2, 320000)
+    assert b["text_ids"].shape == (2, SMALL.text_tokenization_len)
+    assert b["answer_ids"].shape == (2, 16)
+    assert b["answer_mask"].shape == (2, 16)
+    # answers end with the stop token inside the mask
+    for row, mask in zip(b["answer_ids"], b["answer_mask"]):
+        n = int(mask.sum())
+        assert row[n - 1] == SMALL.stop_token_id
+
+
+def test_overfit_one_batch_loss_drops(tiny_dataset):
+    examples = load_json(tiny_dataset)
+    loader = ReasonAQALoader(
+        examples, ByteTokenizer(), SMALL, batch_size=2, answer_len=12
+    )
+    batch = next(loader.epoch(0))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    params = jmellow.init_params(jax.random.PRNGKey(0), SMALL)
+    optimizer = step_mod.make_optimizer(learning_rate=3e-3, warmup_steps=1)
+    state = step_mod.init_train_state(params, optimizer)
+
+    losses = []
+    for i in range(6):
+        state, m = step_mod.train_step(
+            state, SMALL, optimizer, batch, jax.random.PRNGKey(i)
+        )
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 6
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = jmellow.init_params(jax.random.PRNGKey(0), SMALL)
+    optimizer = step_mod.make_optimizer()
+    state = step_mod.init_train_state(params, optimizer)
+    path = ckpt.save(str(tmp_path), state)
+    assert ckpt.latest(str(tmp_path)) == path
+    restored = ckpt.restore(path, state)
+    a = jax.tree.leaves(state)
+    b = jax.tree.leaves(restored)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
