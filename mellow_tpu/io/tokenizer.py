@@ -82,13 +82,32 @@ class HFTokenizer:
         return list(enc["input_ids"])
 
 
+def _hub_reachable(timeout: float = 1.5) -> bool:
+    import socket
+
+    try:
+        socket.getaddrinfo("huggingface.co", 443)
+        return True
+    except OSError:
+        return False
+
+
 def load_tokenizer(name_or_path: str, allow_fallback: bool = True):
-    """Try HF AutoTokenizer (hub cache or local dir); fall back to
-    ByteTokenizer when tokenizer files are unreachable (offline env)."""
+    """Try HF AutoTokenizer: local files / hub cache first (instant), then
+    the hub only if it is reachable (a 1.5 s DNS probe — otherwise HF's
+    5-retry backoff stalls offline startup by ~30 s). Fall back to
+    ByteTokenizer when nothing is available."""
     try:
         from transformers import AutoTokenizer
 
-        return HFTokenizer(AutoTokenizer.from_pretrained(name_or_path))
+        try:
+            return HFTokenizer(
+                AutoTokenizer.from_pretrained(name_or_path, local_files_only=True)
+            )
+        except Exception:
+            if not _hub_reachable():
+                raise
+            return HFTokenizer(AutoTokenizer.from_pretrained(name_or_path))
     except Exception:
         if not allow_fallback:
             raise

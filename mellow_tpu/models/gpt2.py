@@ -96,7 +96,7 @@ def _layer_full(cfg, x, lp, mask):
 
 
 def forward(params, cfg: GPT2Config, inputs_embeds: jax.Array,
-            *, position_offset: int = 0) -> jax.Array:
+            *, position_offset: int = 0, remat: bool = False) -> jax.Array:
     """Full-sequence forward -> logits (B, S, V). inputs_embeds are the
     already-embedded tokens (the Mellow pipeline feeds audio prefixes this
     way, wrapper.py:217)."""
@@ -110,6 +110,8 @@ def forward(params, cfg: GPT2Config, inputs_embeds: jax.Array,
         x, _ = _layer_full(cfg, x, lp, mask)
         return x, None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["layers"])
     x = _ln(x, params["lnf_g"], params["lnf_b"], cfg.layer_norm_eps)
     return x @ params["wte"].T.astype(x.dtype)

@@ -98,7 +98,30 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (x * weight.astype(jnp.float32)).astype(dtype)
 
 
-def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None):
+def _flash_causal_attention(q, k, v):
+    """Causal attention via the stock Pallas TPU flash kernel (no (S, S)
+    score materialization — the einsum path writes ~350 MB of fp32 scores
+    per layer at B=64, S=389). q/k/v: (B, S, H, hd) with KV already
+    repeated; returns (B, S, H, hd). Pads S up to a 512 multiple (padded
+    queries are causal-masked to self-attention only and sliced away)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    B, S, H, hd = q.shape
+    pad = (-S) % 512
+    if pad:
+        zq = jnp.zeros((B, pad, H, hd), q.dtype)
+        q = jnp.concatenate([q, zq], axis=1)
+        k = jnp.concatenate([k, zq], axis=1)
+        v = jnp.concatenate([v, zq], axis=1)
+    qt = jnp.transpose(q, (0, 2, 1, 3))  # (B, H, S, hd)
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    out = flash_attention(qt, kt, vt, causal=True, sm_scale=1.0 / np.sqrt(hd))
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    return out[:, :S] if pad else out
+
+
+def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None, use_flash=False):
     """One transformer layer.
 
     x: (B, S, D). mask: additive (1, 1, S, S_kv) or None (pure causal handled
@@ -124,17 +147,23 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None):
     else:
         k_att, v_att = kv_slot
 
-    # GQA without materializing repeated KV heads: group the query heads as
-    # (KV, rep) and contract against the KV heads directly (bandwidth
-    # matters far more than the reshape).
     rep = H // KV
-    qg = q.reshape(B, S, KV, rep, hd)
-    scale = 1.0 / np.sqrt(hd)
-    attn = jnp.einsum("bqhrd,bkhd->bhrqk", qg, k_att) * scale
-    if mask is not None:
-        attn = attn + mask[:, :, None]  # mask: (B?, 1|H, q, k) -> broadcast rep
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-    o = jnp.einsum("bhrqk,bkhd->bqhrd", attn, v_att).reshape(B, S, H * hd)
+    if use_flash:
+        # Flash path (inference prefill, pure causal): repeat KV to H heads
+        # (29 MB at B=64 — cheap next to the O(S^2) scores it avoids).
+        k_full = jnp.repeat(k_att, rep, axis=2)
+        v_full = jnp.repeat(v_att, rep, axis=2)
+        o = _flash_causal_attention(q, k_full, v_full).reshape(B, S, H * hd)
+    else:
+        # GQA without materializing repeated KV heads: group the query heads
+        # as (KV, rep) and contract against the KV heads directly.
+        qg = q.reshape(B, S, KV, rep, hd)
+        scale = 1.0 / np.sqrt(hd)
+        attn = jnp.einsum("bqhrd,bkhd->bhrqk", qg, k_att) * scale
+        if mask is not None:
+            attn = attn + mask[:, :, None]  # (B?, 1|H, q, k) -> broadcast rep
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhrqk,bkhd->bqhrd", attn, v_att).reshape(B, S, H * hd)
     x = x + o @ lp["wo"]
 
     h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
@@ -150,9 +179,12 @@ def forward(
     inputs_embeds: jax.Array,
     *,
     attention_mask: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Full-sequence forward (teacher forcing / the reference's per-step
-    full recompute, wrapper.py:217). Returns logits (B, S, V)."""
+    full recompute, wrapper.py:217). Returns logits (B, S, V).
+    ``remat`` checkpoints each layer (recompute activations in backward —
+    the TPU memory/FLOP trade the task mandates for training at scale)."""
     B, S, D = inputs_embeds.shape
     cos_t, sin_t = rope_tables(cfg, S, inputs_embeds.dtype)
     cos, sin = jnp.asarray(cos_t), jnp.asarray(sin_t)
@@ -167,6 +199,8 @@ def forward(
         x, _ = _layer(cfg, x, lp, cos, sin, mask)
         return x, None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
     x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
     return logits_from_hidden(params, cfg, x)
@@ -191,11 +225,18 @@ def prefill(
     S_max = cache.k.shape[2]
     cos_t, sin_t = rope_tables(cfg, S, inputs_embeds.dtype)
     cos, sin = jnp.asarray(cos_t), jnp.asarray(sin_t)
+    # NOTE: the stock Pallas flash-attention kernel was measured SLOWER here
+    # (B=64, S=389->512 pad, hd=64, 9 heads: 209 ms vs 106 ms for the einsum
+    # formulation on v5e-1 — its block sizes don't suit this tiny head_dim
+    # and the GQA repeat adds traffic), so prefill keeps the einsum path.
+    # _flash_causal_attention stays available via use_flash for larger
+    # shapes.
+    use_flash = False
     causal = jnp.tril(jnp.ones((S, S), bool))
     mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
 
     def body(x, lp):
-        x, (k, v) = _layer(cfg, x, lp, cos, sin, mask)
+        x, (k, v) = _layer(cfg, x, lp, cos, sin, mask, use_flash=use_flash)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(body, inputs_embeds, params["layers"])

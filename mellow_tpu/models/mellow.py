@@ -103,6 +103,7 @@ def forward_train(
     answer_mask: jax.Array,  # (B, T_ans) 1 for real tokens
     *,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, dict]:
     """Training objective (reference: decoder.py:57-90 + mellow.py:89-98):
     next-token CE over the answer span, prefix positions masked out.
@@ -125,7 +126,7 @@ def forward_train(
     ans_emb = embed[answer_ids].astype(prefix.dtype)
     seq = jnp.concatenate([prefix, ans_emb], axis=1)  # (B, 389+T, D)
 
-    logits = ops.forward(params["decoder"], cfg.decoder, seq)
+    logits = ops.forward(params["decoder"], cfg.decoder, seq, remat=remat)
     P = prefix.shape[1]
     # Position P-1+t predicts answer token t.
     pred = logits[:, P - 1 : -1, :]  # (B, T_ans, V)

@@ -31,6 +31,7 @@ def train(
     mesh=None,
     log_every: int = 20,
     seed: int = 0,
+    remat: bool = False,
 ) -> step_mod.TrainState:
     optimizer = step_mod.make_optimizer(learning_rate=learning_rate)
     # Private copy: train_step donates its state, which would otherwise
@@ -65,7 +66,9 @@ def train(
                 batch = {k: jax.device_put(v, batch_sharding) for k, v in batch.items()}
             step_rng = jax.random.fold_in(rng, step_count)
             with metrics.timer("train_step"):
-                state, m = step_mod.train_step(state, cfg, optimizer, batch, step_rng)
+                state, m = step_mod.train_step(
+                    state, cfg, optimizer, batch, step_rng, remat=remat
+                )
             step_count += 1
             metrics.count("train_steps", 1)
             metrics.count(

@@ -49,7 +49,9 @@ def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> T
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "optimizer"), donate_argnames=("state",)
+    jax.jit,
+    static_argnames=("cfg", "optimizer", "remat"),
+    donate_argnames=("state",),
 )
 def train_step(
     state: TrainState,
@@ -57,12 +59,13 @@ def train_step(
     optimizer: optax.GradientTransformation,
     batch: dict,  # audio1, audio2, text_ids, answer_ids, answer_mask
     rng: jax.Array,
+    remat: bool = False,
 ) -> Tuple[TrainState, dict]:
     def loss_fn(params):
         return mellow_model.forward_train(
             params, cfg,
             batch["audio1"], batch["audio2"], batch["text_ids"],
-            batch["answer_ids"], batch["answer_mask"], rng=rng,
+            batch["answer_ids"], batch["answer_mask"], rng=rng, remat=remat,
         )
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

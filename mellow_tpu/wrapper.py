@@ -67,6 +67,7 @@ class MellowWrapper:
         tokenizer=None,
         compute_dtype: Optional[str] = None,
         use_native_audio: Optional[bool] = None,  # None = auto-detect
+        mesh=None,  # jax.sharding.Mesh for multi-chip data-parallel inference
     ):
         if model not in self.model_name:
             raise ValueError(
@@ -91,7 +92,14 @@ class MellowWrapper:
         else:
             self._native = None
 
+        self.mesh = mesh
         self.params = self._load_params(model, params_path, params)
+        if mesh is not None:
+            # DP inference: params replicated across the mesh, batch sharded
+            # on the data axis (SURVEY.md section 2.4 TPU-native plan).
+            from mellow_tpu.parallel.sharding import replicated
+
+            self.params = jax.device_put(self.params, replicated(mesh))
         self.tokenizer = tokenizer or load_tokenizer(
             "HuggingFaceTB/SmolLM2-135M"
         )
@@ -255,6 +263,10 @@ class MellowWrapper:
     ):
         B = audio1.shape[0]
         Bp = _next_pow2(B)  # bucket to bound recompiles
+        if self.mesh is not None:
+            dp = self.mesh.shape["data"]
+            Bp = max(Bp, dp)
+            Bp = -(-Bp // dp) * dp  # divisible by the data axis
         if Bp != B:
             pad = Bp - B
             audio1 = np.concatenate([audio1, np.zeros((pad,) + audio1.shape[1:], audio1.dtype)])
@@ -274,6 +286,14 @@ class MellowWrapper:
         # Padding rows start "done": they cannot extend the decode loop nor
         # change real rows (each row is independent under causal attention).
         initial_done = jnp.asarray(np.arange(Bp) >= B)
+        if self.mesh is not None:
+            from mellow_tpu.parallel.sharding import batch_sharding
+
+            bsh = batch_sharding(self.mesh)
+            audio1 = jax.device_put(np.asarray(audio1), bsh)
+            audio2 = jax.device_put(np.asarray(audio2), bsh)
+            text_ids = jax.device_put(np.asarray(text_ids), bsh)
+            initial_done = jax.device_put(np.asarray(initial_done), bsh)
         precision = "highest" if dtype == jnp.float32 else "default"
         with jax.default_matmul_precision(precision):
             result = mellow_model.generate_tokens(

@@ -1,0 +1,88 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md section 4.4: the TPU analogue of multi-node testing without a
+cluster)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from mellow_tpu.io.tokenizer import ByteTokenizer
+from mellow_tpu.models import mellow as jmellow
+from mellow_tpu.parallel import sharding as shd
+from mellow_tpu.wrapper import MellowWrapper
+from tests.test_wrapper import SMALL
+
+REF_WAV1 = "/root/reference/resource/1.wav"
+REF_WAV2 = "/root/reference/resource/2.wav"
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = shd.make_mesh(8)
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh6 = shd.make_mesh(6)
+    assert mesh6.shape == {"data": 2, "model": 3}
+
+
+def test_param_specs_structure():
+    params = jmellow.init_params(jax.random.PRNGKey(0), SMALL)
+    mesh = shd.make_mesh(6)
+    specs = shd.mellow_param_specs(params, mesh, num_heads_kv=SMALL.decoder.num_kv_heads)
+    assert jax.tree.structure(specs, is_leaf=lambda x: isinstance(x, P)) \
+        == jax.tree.structure(params)
+    # decoder MLP sharded on the model axis; encoder replicated
+    assert specs["decoder"]["layers"]["w_gate"] == P(None, None, "model")
+    assert specs["encoder"]["patch_embed"]["kernel"] == P()
+
+
+def test_dp_inference_matches_unsharded():
+    """Wrapper with an 8-way DP mesh must produce identical strings."""
+    params = jmellow.init_params(jax.random.PRNGKey(0), SMALL)
+    w_plain = MellowWrapper(
+        "test_small", "v0", 0, params=params, tokenizer=ByteTokenizer()
+    )
+    mesh = shd.make_mesh(8)
+    w_dp = MellowWrapper(
+        "test_small", "v0", 0, params=params, tokenizer=ByteTokenizer(),
+        mesh=mesh,
+    )
+    ex = [
+        [REF_WAV1, REF_WAV1, "one"],
+        [REF_WAV2, REF_WAV2, "two"],
+        [REF_WAV1, REF_WAV2, "three"],
+    ]
+    a = w_plain.generate(ex, max_len=5, top_p=0.8, temperature=1.0)
+    b = w_dp.generate(ex, max_len=5, top_p=0.8, temperature=1.0)
+    assert a == b
+
+
+def test_sharded_train_step_matches_unsharded_loss():
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio1": jnp.asarray((rng.randn(8, 320000) * 0.1).astype(np.float32)),
+        "audio2": jnp.asarray((rng.randn(8, 320000) * 0.1).astype(np.float32)),
+        "text_ids": jnp.asarray(rng.randint(2, 500, (8, 8)), jnp.int32),
+        "answer_ids": jnp.asarray(rng.randint(2, 500, (8, 6)), jnp.int32),
+        "answer_mask": jnp.ones((8, 6), jnp.float32),
+    }
+    from mellow_tpu.train import step as step_mod
+
+    params = jmellow.init_params(jax.random.PRNGKey(0), SMALL)
+    opt = step_mod.make_optimizer()
+
+    state = step_mod.init_train_state(
+        jax.tree.map(jnp.array, params), opt
+    )
+    _, m_plain = step_mod.train_step(state, SMALL, opt, batch, jax.random.PRNGKey(9))
+
+    mesh = shd.make_mesh(8)
+    sharded_params = shd.shard_params(jax.tree.map(jnp.array, params), mesh)
+    state_s = step_mod.init_train_state(sharded_params, opt)
+    batch_s = {k: jax.device_put(v, shd.batch_sharding(mesh)) for k, v in batch.items()}
+    _, m_shard = step_mod.train_step(state_s, SMALL, opt, batch_s, jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(
+        float(m_plain["loss"]), float(m_shard["loss"]), rtol=1e-5
+    )

@@ -130,3 +130,25 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_remat_train_step_matches_plain(tiny_dataset):
+    """jax.checkpoint path must give the same loss (it only changes what is
+    stored vs recomputed in backward)."""
+    examples = load_json(tiny_dataset)
+    loader = ReasonAQALoader(
+        examples, ByteTokenizer(), SMALL, batch_size=2, answer_len=12
+    )
+    batch = {k: jnp.asarray(v) for k, v in next(loader.epoch(0)).items()}
+    params = jmellow.init_params(jax.random.PRNGKey(0), SMALL)
+    optimizer = step_mod.make_optimizer()
+
+    s1 = step_mod.init_train_state(jax.tree.map(jnp.array, params), optimizer)
+    _, m_plain = step_mod.train_step(s1, SMALL, optimizer, batch, jax.random.PRNGKey(0))
+    s2 = step_mod.init_train_state(jax.tree.map(jnp.array, params), optimizer)
+    _, m_remat = step_mod.train_step(
+        s2, SMALL, optimizer, batch, jax.random.PRNGKey(0), remat=True
+    )
+    np.testing.assert_allclose(
+        float(m_plain["loss"]), float(m_remat["loss"]), rtol=1e-6
+    )
