@@ -58,8 +58,18 @@ class KVCache(NamedTuple):
     length: jax.Array  # int32 scalar
 
     @staticmethod
+    def packed_dim(cfg: LlamaConfig) -> int:
+        # Explicitly pad KV*hd (192) up to the 128-lane tile (256): the
+        # physical footprint is identical (XLA pads anyway) but per-position
+        # writes stop being read-modify-writes on partially-used tiles
+        # (measured 1.49 -> 0.49 ms/write at B=64 on v5e-1). The dead lanes
+        # hold zeros, which the block-diagonal queries ignore.
+        raw = cfg.num_kv_heads * cfg.head_dim
+        return -(-raw // 128) * 128
+
+    @staticmethod
     def create(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) -> "KVCache":
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads * cfg.head_dim)
+        shape = (cfg.num_layers, batch, max_len, KVCache.packed_dim(cfg))
         return KVCache(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -241,10 +251,15 @@ def prefill(
 
     x, (ks, vs) = jax.lax.scan(body, inputs_embeds, params["layers"])
     # ks: (L, B, S, KV, hd) -> packed (L, B, S, KV*hd); (KV, hd) are adjacent
-    # so this is a pure view, no transpose.
+    # so this is a pure view, no transpose. Pad to the cache's lane-aligned
+    # packed dim (see KVCache.packed_dim).
     L_, B_, S_ = ks.shape[:3]
     ks = ks.reshape(L_, B_, S_, -1)
     vs = vs.reshape(L_, B_, S_, -1)
+    pad = cache.k.shape[-1] - ks.shape[-1]
+    if pad:
+        ks = jnp.pad(ks, ((0, 0),) * 3 + ((0, pad),))
+        vs = jnp.pad(vs, ((0, 0),) * 3 + ((0, pad),))
     new_k = jax.lax.dynamic_update_slice(cache.k, ks.astype(cache.k.dtype), (0, 0, 0, 0))
     new_v = jax.lax.dynamic_update_slice(cache.v, vs.astype(cache.v.dtype), (0, 0, 0, 0))
     x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
@@ -308,11 +323,14 @@ def decode_step(
         v = (h @ lp["wv"]).reshape(B, 1, KV, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k_cur = k.reshape(B, 1, KV * hd)  # packed, view only
-        v_cur = v.reshape(B, 1, KV * hd)
+        packed = cache.k.shape[-1]  # lane-aligned (>= KV*hd, zeros beyond)
+        pad = packed - KV * hd
+        k_cur = jnp.pad(k.reshape(B, 1, KV * hd), ((0, 0), (0, 0), (0, pad)))
+        v_cur = jnp.pad(v.reshape(B, 1, KV * hd), ((0, 0), (0, 0), (0, pad)))
 
         qg = q.reshape(B, KV, rep, hd)
         q_dense = jnp.einsum("bgrd,gk->bgrkd", qg, eye).reshape(B, H, KV * hd)
+        q_dense = jnp.pad(q_dense, ((0, 0), (0, 0), (0, pad)))
 
         scale = 1.0 / np.sqrt(hd)
         s_cache = (
@@ -329,12 +347,15 @@ def decode_step(
         e_cur = jnp.exp(s_cur - m).astype(x.dtype)
         denom = jnp.sum(e_cache, axis=-1, keepdims=True) + e_cur
         o_dense = jnp.einsum("bqs,bsd->bqd", e_cache, v_cache.astype(x.dtype))
-        o_dense = o_dense + e_cur * v_cur  # (B, H, KV*hd)
+        o_dense = o_dense + e_cur * v_cur  # (B, H, packed)
         # Extract each query head's own KV block (the rest are cross-head
         # sums that the block-diagonal q kept meaningful only on-block for
-        # scores; for values we must select block g explicitly).
+        # scores; for values we must select block g explicitly). Dead pad
+        # lanes are dropped here.
         o = jnp.einsum(
-            "bgrkd,gk->bgrd", o_dense.reshape(B, KV, rep, KV, hd), eye
+            "bgrkd,gk->bgrd",
+            o_dense[..., : KV * hd].reshape(B, KV, rep, KV, hd),
+            eye,
         )
         o = (o / denom.reshape(B, KV, rep, 1)).reshape(B, 1, H * hd)
         x = x + o @ lp["wo"]
