@@ -78,19 +78,25 @@ def main():
     # ------------------------------------------------------------------
     # 2) encoder clips/sec/chip
     # ------------------------------------------------------------------
-    Be = 32
+    Be, reps = 32, 10
     wave = jnp.asarray(rng.randn(Be, 320000) * 0.1, dtype)
-    enc = jax.jit(
-        lambda w: htsat.encode_audio(w, params, cfg.frontend, cfg.encoder)
-    )
-    enc(wave).block_until_ready()
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        enc(wave).block_until_ready()
-        times.append(time.time() - t0)
-    clips_per_s = Be / min(times)
-    log(f"encoder: B={Be} time={min(times):.3f}s -> {clips_per_s:,.0f} clips/s")
+
+    @jax.jit
+    def enc_loop(w):
+        # reps chained encoder passes inside ONE program: amortizes the
+        # host<->device dispatch RTT that dominates single-call timing on
+        # a tunneled chip.
+        def body(i, acc):
+            r = htsat.encode_audio(w + acc * 0, params, cfg.frontend, cfg.encoder)
+            return jnp.sum(r.astype(jnp.float32)) * 1e-12
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    float(enc_loop(wave))
+    t0 = time.time()
+    float(enc_loop(wave))
+    dt = (time.time() - t0) / reps
+    clips_per_s = Be / dt
+    log(f"encoder: B={Be} time={dt:.3f}s/pass -> {clips_per_s:,.0f} clips/s")
 
     # ------------------------------------------------------------------
     # 3) p50 end-to-end generate latency (single example pair, 32 tokens)
