@@ -51,29 +51,33 @@ def main():
         rng.randn(B, cfg.prefix_length, cfg.d_proj) * 0.02, dtype
     )
 
-    def run_decode():
+    def run_decode(cache_dtype):
         return gen.generate(
             params["decoder"], cfg.decoder, prefix,
             max_len=max_len, stop_token_id=-1,  # never fires: fixed-length run
-            greedy=True, cache_dtype="bfloat16",
+            greedy=True, cache_dtype=cache_dtype,
         )
 
-    t0 = time.time()
-    res = run_decode()
-    res.tokens.block_until_ready()
-    compile_s = time.time() - t0
-    log(f"decode compile+first run: {compile_s:.1f}s")
-
-    times = []
-    for _ in range(3):
+    best = (0.0, None)
+    for cache_dtype in ("bfloat16", "int8"):
         t0 = time.time()
-        res = run_decode()
+        res = run_decode(cache_dtype)
         res.tokens.block_until_ready()
-        times.append(time.time() - t0)
-    steps = int(res.num_steps)
-    decode_time = min(times)
-    tokens_per_s = B * steps / decode_time
-    log(f"decode: B={B} steps={steps} time={decode_time:.3f}s -> {tokens_per_s:,.0f} tok/s")
+        log(f"decode[{cache_dtype}] compile+first run: {time.time() - t0:.1f}s")
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            res = run_decode(cache_dtype)
+            res.tokens.block_until_ready()
+            times.append(time.time() - t0)
+        steps = int(res.num_steps)
+        tps = B * steps / min(times)
+        log(f"decode[{cache_dtype}]: B={B} steps={steps} "
+            f"time={min(times):.3f}s -> {tps:,.0f} tok/s")
+        if tps > best[0]:
+            best = (tps, cache_dtype)
+    tokens_per_s, best_mode = best
+    log(f"decode best mode: {best_mode}")
 
     # ------------------------------------------------------------------
     # 2) encoder clips/sec/chip

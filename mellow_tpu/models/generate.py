@@ -108,10 +108,16 @@ def generate(
     # Seed the deferred-write pipeline with the last prefix position's k/v
     # (flushing it is a semantic no-op; see llama.decode_step docstring).
     axis = ops.cache_seq_axis
-    pending0 = (
-        jax.lax.dynamic_slice_in_dim(cache.k, P - 1, 1, axis=axis),
-        jax.lax.dynamic_slice_in_dim(cache.v, P - 1, 1, axis=axis),
-    )
+    pk0 = jax.lax.dynamic_slice_in_dim(cache.k, P - 1, 1, axis=axis)
+    pv0 = jax.lax.dynamic_slice_in_dim(cache.v, P - 1, 1, axis=axis)
+    if getattr(cache, "k_scale", None) is not None:
+        # int8 cache: pending rides dequantized; requantization at flush is
+        # exact for already-quantized values.
+        ksc0 = jax.lax.dynamic_slice_in_dim(cache.k_scale, P - 1, 1, axis=axis)
+        vsc0 = jax.lax.dynamic_slice_in_dim(cache.v_scale, P - 1, 1, axis=axis)
+        pk0 = pk0.astype(dtype) * ksc0[..., None].astype(dtype)
+        pv0 = pv0.astype(dtype) * vsc0[..., None].astype(dtype)
+    pending0 = (pk0, pv0)
 
     if rng is None:
         rng = jax.random.PRNGKey(0)

@@ -121,10 +121,11 @@ def window_attention(
     if mask is not None:
         nW = mask.shape[0]
         attn = attn.reshape(Bn // nW, nW, num_heads, N, N)
-        attn = attn + jnp.asarray(mask)[None, :, None]
+        attn = attn + jnp.asarray(mask, dtype=attn.dtype)[None, :, None]
         attn = attn.reshape(Bn, num_heads, N, N)
 
-    attn = jax.nn.softmax(attn, axis=-1)
+    # Softmax in fp32 for stability, back to the compute dtype after.
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(Bn, N, C)
     return out @ p["proj"]["kernel"] + p["proj"]["bias"]
 

@@ -51,11 +51,19 @@ class KVCache(NamedTuple):
     block-diagonal dense queries (see ``_dense_queries``) — no per-step
     cache transpose or reshape ever touches HBM.
     ``length`` is the number of valid positions (traced scalar).
+
+    int8 mode (``cache_dtype="int8"``, perf option): k/v are symmetric
+    per-position int8 with fp32 scales (L, B, S) in k_scale/v_scale —
+    attention reads half the HBM bytes; the scale multiplies scores /
+    exp-weights AFTER the matmul so no dequantized cache is materialized.
+    In float modes the scale arrays are empty placeholders (stable pytree).
     """
 
     k: jax.Array
     v: jax.Array
     length: jax.Array  # int32 scalar
+    k_scale: Optional[jax.Array] = None  # None = float cache (no scales)
+    v_scale: Optional[jax.Array] = None
 
     @staticmethod
     def packed_dim(cfg: LlamaConfig) -> int:
@@ -69,12 +77,37 @@ class KVCache(NamedTuple):
 
     @staticmethod
     def create(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) -> "KVCache":
+        dtype = jnp.dtype(dtype)
         shape = (cfg.num_layers, batch, max_len, KVCache.packed_dim(cfg))
+        if dtype == jnp.int8:
+            sc = jnp.zeros(shape[:3], jnp.float32)
+            return KVCache(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                length=jnp.zeros((), jnp.int32),
+                k_scale=sc,
+                v_scale=sc,
+            )
         return KVCache(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             length=jnp.zeros((), jnp.int32),
         )
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-position int8 quantization over the packed lane dim.
+    x: (..., packed) -> (int8 values, fp32 scale (...,))."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
 
 
 def rope_tables(cfg: LlamaConfig, max_len: int, dtype=jnp.float32) -> Tuple[np.ndarray, np.ndarray]:
@@ -260,6 +293,17 @@ def prefill(
     if pad:
         ks = jnp.pad(ks, ((0, 0),) * 3 + ((0, pad),))
         vs = jnp.pad(vs, ((0, 0),) * 3 + ((0, pad),))
+    if cache.quantized:
+        ks8, ksc = quantize_kv(ks)
+        vs8, vsc = quantize_kv(vs)
+        new_k = jax.lax.dynamic_update_slice(cache.k, ks8, (0, 0, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(cache.v, vs8, (0, 0, 0, 0))
+        new_ksc = jax.lax.dynamic_update_slice(cache.k_scale, ksc, (0, 0, 0))
+        new_vsc = jax.lax.dynamic_update_slice(cache.v_scale, vsc, (0, 0, 0))
+        x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
+        return x[:, -1, :], KVCache(
+            new_k, new_v, jnp.asarray(S, jnp.int32), new_ksc, new_vsc
+        )
     new_k = jax.lax.dynamic_update_slice(cache.k, ks.astype(cache.k.dtype), (0, 0, 0, 0))
     new_v = jax.lax.dynamic_update_slice(cache.v, vs.astype(cache.v.dtype), (0, 0, 0, 0))
     x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
@@ -298,10 +342,21 @@ def decode_step(
     x = token_embed[:, None, :]  # (B, 1, D)
 
     if pending is not None:
-        pk, pv = pending  # (L, B, 1, KV*hd) — one contiguous row per (l, b)
-        new_k = jax.lax.dynamic_update_slice(cache.k, pk, (0, 0, pos - 1, 0))
-        new_v = jax.lax.dynamic_update_slice(cache.v, pv, (0, 0, pos - 1, 0))
-        cache = KVCache(new_k, new_v, pos)
+        pk, pv = pending  # (L, B, 1, packed) bf16 — one contiguous row per (l, b)
+        if cache.quantized:
+            pk8, pksc = quantize_kv(pk)
+            pv8, pvsc = quantize_kv(pv)
+            cache = KVCache(
+                jax.lax.dynamic_update_slice(cache.k, pk8, (0, 0, pos - 1, 0)),
+                jax.lax.dynamic_update_slice(cache.v, pv8, (0, 0, pos - 1, 0)),
+                pos,
+                jax.lax.dynamic_update_slice(cache.k_scale, pksc, (0, 0, pos - 1)),
+                jax.lax.dynamic_update_slice(cache.v_scale, pvsc, (0, 0, pos - 1)),
+            )
+        else:
+            new_k = jax.lax.dynamic_update_slice(cache.k, pk.astype(cache.k.dtype), (0, 0, pos - 1, 0))
+            new_v = jax.lax.dynamic_update_slice(cache.v, pv.astype(cache.v.dtype), (0, 0, pos - 1, 0))
+            cache = KVCache(new_k, new_v, pos)
 
     cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, 1, axis=0)  # (1, hd)
     sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, 1, axis=0)
@@ -315,7 +370,11 @@ def decode_step(
 
     def body(carry, scanned):
         x, = carry
-        lp, k_cache, v_cache = scanned
+        if cache.quantized:
+            lp, k_cache, v_cache, k_sc, v_sc = scanned
+        else:
+            lp, k_cache, v_cache = scanned
+            k_sc = v_sc = None
 
         h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q = (h @ lp["wq"]).reshape(B, 1, H, hd)
@@ -336,6 +395,10 @@ def decode_step(
         s_cache = (
             jnp.einsum("bqd,bsd->bqs", q_dense, k_cache.astype(q.dtype)) * scale
         )
+        if k_sc is not None:
+            # int8 cache: fold the per-position scale in AFTER the matmul,
+            # so the int8 values are what streams from HBM.
+            s_cache = s_cache * k_sc[:, None, :].astype(s_cache.dtype)
         s_cache = (s_cache + mask).astype(jnp.float32)  # (B, H, S_max)
         s_cur = (
             jnp.einsum("bqd,bsd->bqs", q_dense, k_cur) * scale
@@ -346,7 +409,8 @@ def decode_step(
         e_cache = jnp.exp(s_cache - m).astype(x.dtype)
         e_cur = jnp.exp(s_cur - m).astype(x.dtype)
         denom = jnp.sum(e_cache, axis=-1, keepdims=True) + e_cur
-        o_dense = jnp.einsum("bqs,bsd->bqd", e_cache, v_cache.astype(x.dtype))
+        e_v = e_cache if v_sc is None else e_cache * v_sc[:, None, :].astype(e_cache.dtype)
+        o_dense = jnp.einsum("bqs,bsd->bqd", e_v, v_cache.astype(x.dtype))
         o_dense = o_dense + e_cur * v_cur  # (B, H, packed)
         # Extract each query head's own KV block (the rest are cross-head
         # sums that the block-diagonal q kept meaningful only on-block for
@@ -364,13 +428,24 @@ def decode_step(
         gate = jax.nn.silu(h @ lp["w_gate"])
         up = h @ lp["w_up"]
         x = x + (gate * up) @ lp["w_down"]
-        return (x,), (k_cur.astype(cache.k.dtype), v_cur.astype(cache.v.dtype))
+        # pending stays in the compute dtype; quantization (if any) happens
+        # at the next step's flush.
+        return (x,), (
+            k_cur.astype(token_embed.dtype),
+            v_cur.astype(token_embed.dtype),
+        )
 
-    (x,), (ks, vs) = jax.lax.scan(body, (x,), (params["layers"], cache.k, cache.v))
-    # ks, vs: (L, B, 1, KV*hd) — deferred to the NEXT step's flush so the
+    xs = (
+        (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+        if cache.quantized
+        else (params["layers"], cache.k, cache.v)
+    )
+    (x,), (ks, vs) = jax.lax.scan(body, (x,), xs)
+    # ks, vs: (L, B, 1, packed) — deferred to the NEXT step's flush so the
     # cache write always precedes every read of the iteration (see docstring).
     x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
-    return x[:, 0, :], KVCache(cache.k, cache.v, pos + 1), (ks, vs)
+    new_cache = KVCache(cache.k, cache.v, pos + 1, cache.k_scale, cache.v_scale)
+    return x[:, 0, :], new_cache, (ks, vs)
 
 
 def init_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):

@@ -213,8 +213,10 @@ def batchnorm_mel(x: jax.Array, bn: dict, eps: float = 1e-5) -> jax.Array:
 
 def resize_time_bicubic(x: jax.Array, n_out: int) -> jax.Array:
     """(B, T, F) -> (B, n_out, F) cubic resize along time, torch
-    align_corners=True convention, realized as one static matmul."""
-    W = jnp.asarray(bicubic_matrix(x.shape[1], n_out))
+    align_corners=True convention, realized as one static matmul. The
+    weight matrix follows x's dtype so bf16 perf mode is not silently
+    promoted to fp32."""
+    W = jnp.asarray(bicubic_matrix(x.shape[1], n_out), dtype=x.dtype)
     return jnp.einsum("ot,btf->bof", W, x)
 
 
@@ -242,7 +244,9 @@ def frontend_image(
     """Full front-end: waveform -> (B, 256, 256) spectrogram image ready for
     patch embedding. Mirrors htsat.py:864-874 + 937-938 (SpecAugment applied
     after bn0 at train time, exactly the reference's order)."""
-    x = log_mel_auto(wave, fe_cfg)  # (B, 1001, 64)
+    # The fused kernel computes in fp32; keep the pipeline in the caller's
+    # compute dtype (bf16 perf mode would otherwise be silently promoted).
+    x = log_mel_auto(wave, fe_cfg).astype(wave.dtype)  # (B, 1001, 64)
     x = batchnorm_mel(x, bn0)
     if augment_rng is not None:
         from mellow_tpu.train.augment import spec_augment

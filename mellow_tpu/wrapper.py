@@ -232,6 +232,7 @@ class MellowWrapper:
         sample: bool = False,
         seed: int = 0,
         crop_start: Optional[int] = None,
+        kv_cache_dtype: Optional[str] = None,  # e.g. "int8" (perf option)
     ) -> List[str]:
         """Produce text for [audio1, audio2, prompt] examples
         (signature: reference wrapper.py:258)."""
@@ -249,7 +250,7 @@ class MellowWrapper:
         with profiling.trace(), metrics.timer("generate"):
             result, n_real = self._generate_device(
                 audio1, audio2, text_ids, max_len, top_p, temperature,
-                sample=sample, seed=seed,
+                sample=sample, seed=seed, kv_cache_dtype=kv_cache_dtype,
             )
             texts = self._detokenize(result, n_real, stop_token)
         metrics.count("tokens", n_real * int(result.num_steps))
@@ -259,7 +260,7 @@ class MellowWrapper:
 
     def _generate_device(
         self, audio1, audio2, text_ids, max_len, top_p, temperature,
-        *, sample=False, seed=0,
+        *, sample=False, seed=0, kv_cache_dtype=None,
     ):
         B = audio1.shape[0]
         Bp = _next_pow2(B)  # bucket to bound recompiles
@@ -307,7 +308,7 @@ class MellowWrapper:
                 top_p=top_p,
                 temperature=temperature,
                 rng=jax.random.PRNGKey(seed),
-                cache_dtype=str(dtype),
+                cache_dtype=kv_cache_dtype or str(dtype),
                 initial_done=initial_done,
             )
         return result, B
