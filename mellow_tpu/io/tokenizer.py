@@ -9,8 +9,7 @@ tokenizer for fully-offline testing.
 
 from __future__ import annotations
 
-import os
-from typing import List, Optional
+from typing import List
 
 
 class ByteTokenizer:

@@ -10,8 +10,6 @@ from types import SimpleNamespace
 
 def get_decoder_ops(family: str) -> SimpleNamespace:
     if family == "llama":
-        import jax.numpy as jnp
-
         from mellow_tpu.models import llama as m
 
         return SimpleNamespace(

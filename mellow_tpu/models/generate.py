@@ -21,12 +21,11 @@ no host round-trips per token.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
-from mellow_tpu.config import LlamaConfig
 from mellow_tpu.models import llama
 from mellow_tpu.models.llama import KVCache
 

@@ -28,7 +28,6 @@ Parameter tree (all kernels stored (in, out) so application is ``x @ W``):
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from mellow_tpu.config import MellowConfig
 from mellow_tpu.models import generate as gen
-from mellow_tpu.models import htsat, llama
+from mellow_tpu.models import htsat
 
 
 def build_prefix(

@@ -18,7 +18,7 @@ section 2.4), revisit if model size grows.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

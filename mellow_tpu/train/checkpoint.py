@@ -5,13 +5,12 @@ portable npz fallback used when Orbax is unavailable)."""
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np
 
 from mellow_tpu.train.step import TrainState
-from mellow_tpu.utils.params_io import load_params, save_params
 
 
 def _orbax():

@@ -24,7 +24,7 @@ import json
 import os
 import random as pyrandom
 from dataclasses import dataclass
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 import numpy as np
 

@@ -23,10 +23,8 @@ Differences from the reference (all additive):
 
 from __future__ import annotations
 
-import math
 import os
 import random
-import warnings
 from typing import List, Optional, Sequence
 
 import jax
