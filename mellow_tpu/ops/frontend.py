@@ -189,11 +189,22 @@ def log_mel_spectrogram(wave: jax.Array, cfg: FrontendConfig) -> jax.Array:
     return logmel(power_spectrogram(wave, cfg), cfg)
 
 
+# Measured v5e-1 crossover (benchmarks/microbench.py --component melspec):
+# the fused Pallas kernel wins at small batch (B=1: 353 vs 90 clips/s,
+# B=16: 2936 vs 1856) where its single-pass fusion beats XLA's fixed
+# overheads; the jnp matmul pipeline wins at large batch (B=32: 5144 vs
+# 3661, B=64: 9322 vs 4660) where the MXU-tiled DFT/mel matmuls scale and
+# the kernel's per-frame loop does not.
+_PALLAS_MAX_BATCH = 24
+
+
 def log_mel_auto(wave: jax.Array, cfg: FrontendConfig) -> jax.Array:
-    """Backend-dispatched log-mel: the fused Pallas kernel on TPU (when the
-    shapes match its specialization), the jnp reference elsewhere."""
+    """Backend-dispatched log-mel: the fused Pallas kernel on TPU for small
+    batches (when the shapes match its specialization), the jnp reference
+    elsewhere. Batch size is static under jit so this is a trace-time pick."""
     if (
         jax.default_backend() in ("tpu", "axon")
+        and wave.shape[0] <= _PALLAS_MAX_BATCH
         and cfg.n_fft == 1024
         and cfg.hop_length == 320
         and wave.shape[1] == cfg.num_samples
