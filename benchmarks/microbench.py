@@ -91,13 +91,13 @@ def bench_encoder(cfg, B: int, reps: int, dtype):
     wave = jnp.asarray(rng.randn(B, 320000) * 0.1, dtype)
 
     @jax.jit
-    def loop(w):
+    def loop(p, w):
         def body(i, acc):
-            r = htsat.encode_audio(w + acc * 0, params, cfg.frontend, cfg.encoder)
+            r = htsat.encode_audio(w + acc * 0, p, cfg.frontend, cfg.encoder)
             return jnp.sum(r.astype(jnp.float32)) * 1e-12
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    dt = timed_loop(lambda: float(loop(wave)), reps)
+    dt = timed_loop(lambda: float(loop(params, wave)), reps)
     rate = B / dt
     log(f"encoder: {dt*1e3:.2f} ms/pass (B={B}) -> {rate:,.0f} clips/s")
     return {"encoder_clips_per_s": round(rate, 1)}
@@ -114,14 +114,18 @@ def bench_prefill(cfg, B: int, reps: int, dtype):
     rng = np.random.RandomState(0)
     seq = jnp.asarray(rng.randn(B, cfg.prefix_length, cfg.d_proj) * 0.02, dtype)
 
+    # params must be a jit ARGUMENT: closed-over arrays are inlined into the
+    # serialized HLO, and the 135M-param decoder exceeds the remote-compile
+    # tunnel's request-size limit (HTTP 413).
     @jax.jit
-    def loop(s):
+    def loop(p, s):
         def body(i, acc):
-            logits = llama.forward(params["decoder"], cfg.decoder, s + acc * 0)
+            logits = llama.forward(p, cfg.decoder, s + acc * 0)
             return jnp.sum(logits[:, -1, :].astype(jnp.float32)) * 1e-12
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    dt = timed_loop(lambda: float(loop(seq)), reps)
+    dec = params["decoder"]
+    dt = timed_loop(lambda: float(loop(dec, seq)), reps)
     toks = B * cfg.prefix_length / dt
     log(f"prefill: {dt*1e3:.2f} ms/pass (B={B}, S={cfg.prefix_length}) "
         f"-> {toks:,.0f} tok/s")
