@@ -256,18 +256,26 @@ int mellow_load_segment(const char* path, int target_sr, long segment_len,
   if (rc != 0) return rc;
 
   size_t frames = w.samples.size() / w.channels;
-  // channel-major flatten == concat channels
-  std::vector<float> mono((size_t)w.channels * frames);
+  // de-interleave to channel-major (torchaudio layout: (C, T))
+  std::vector<float> chans((size_t)w.channels * frames);
   for (size_t t = 0; t < frames; ++t)
     for (int c = 0; c < w.channels; ++c)
-      mono[(size_t)c * frames + t] = w.samples[t * w.channels + c];
+      chans[(size_t)c * frames + t] = w.samples[t * w.channels + c];
 
+  // Resample each channel independently, THEN flatten (concat channels) —
+  // matching the reference order (wrapper.py:146-149: T.Resample over (C,T),
+  // then reshape(-1)). Resampling the concatenation would smear the sinc
+  // filter across the channel seam and change the output length.
   std::vector<float> res;
-  const float* sig = mono.data();
-  size_t n = mono.size();
+  const float* sig = chans.data();
+  size_t n = chans.size();
   if (do_resample && w.sample_rate != target_sr) {
-    resample_mono(mono.data(), mono.size(), w.sample_rate, target_sr, 6, 0.99,
-                  &res);
+    std::vector<float> one;
+    for (int c = 0; c < w.channels; ++c) {
+      resample_mono(chans.data() + (size_t)c * frames, frames, w.sample_rate,
+                    target_sr, 6, 0.99, &one);
+      res.insert(res.end(), one.begin(), one.end());
+    }
     sig = res.data();
     n = res.size();
   }

@@ -50,6 +50,44 @@ def test_load_segment_crop():
     np.testing.assert_allclose(seg, ref[17 : 17 + 320000], atol=1e-6)
 
 
+def test_load_segment_stereo_per_channel_resample(tmp_path):
+    """Multi-channel semantics: resample EACH channel, THEN concat
+    (reference wrapper.py:146-149 order). Guards against resampling the
+    channel concatenation, which smears the filter across the seam."""
+    import wave as stdwave
+
+    sr_in, sr_out, T = 44100, 32000, 44100  # 1 s stereo
+    t = np.arange(T) / sr_in
+    left = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    right = (0.25 * np.sin(2 * np.pi * 660 * t + 0.3)).astype(np.float32)
+    inter = np.empty(2 * T, np.float32)
+    inter[0::2], inter[1::2] = left, right
+    ints = np.clip(inter * 32768.0, -32768, 32767).astype("<i2")
+    p = tmp_path / "stereo.wav"
+    with stdwave.open(str(p), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr_in)
+        w.writeframes(ints.tobytes())
+
+    data, sr = py_read_wav(str(p))
+    assert sr == sr_in and data.shape == (2, T)
+    expect = np.concatenate(
+        [py_resample(data[0], sr_in, sr_out), py_resample(data[1], sr_in, sr_out)]
+    )
+
+    seg, full_len, needs_crop = nb.load_segment(str(p), sr_out, 70000)
+    assert not needs_crop  # 2 ch x 32000 = 64000 <= 70000 -> repeat-pad
+    assert full_len == expect.shape[0] == 2 * 32000
+    np.testing.assert_allclose(seg[:64000], expect, atol=1e-6)
+
+    # short segment inside the flattened signal at a pinned crop
+    seg, _, rc = nb.load_segment(str(p), sr_out, 1000, crop_start=31500)
+    assert not rc
+    # window straddles the channel seam: only per-channel resample matches
+    np.testing.assert_allclose(seg, expect[31500:32500], atol=1e-6)
+
+
 def test_wrapper_paths_agree():
     """Wrapper with native on vs off must produce near-identical segments."""
     import jax
