@@ -92,10 +92,17 @@ def _hub_reachable(timeout: float = 1.5) -> bool:
 
 
 def load_tokenizer(name_or_path: str, allow_fallback: bool = True):
-    """Try HF AutoTokenizer: local files / hub cache first (instant), then
-    the hub only if it is reachable (a 1.5 s DNS probe — otherwise HF's
-    5-retry backoff stalls offline startup by ~30 s). Fall back to
-    ByteTokenizer when nothing is available."""
+    """Resolution order:
+      1. HF AutoTokenizer from local files / hub cache (instant);
+      2. the vendored byte-level BPE (mellow_tpu/io/bpe.py) from the
+         directory named by ``MELLOW_TPU_TOKENIZER`` (a standard
+         vocab.json + merges.txt export) — real text, no HF runtime;
+      3. the hub, only if reachable (a 1.5 s DNS probe — otherwise HF's
+         5-retry backoff stalls offline startup by ~30 s);
+      4. ByteTokenizer (NOT text-compatible; emits a warning).
+    """
+    import os
+
     try:
         from transformers import AutoTokenizer
 
@@ -104,10 +111,16 @@ def load_tokenizer(name_or_path: str, allow_fallback: bool = True):
                 AutoTokenizer.from_pretrained(name_or_path, local_files_only=True)
             )
         except Exception:
+            vendored = _load_vendored_bpe(name_or_path)
+            if vendored is not None:
+                return vendored
             if not _hub_reachable():
                 raise
             return HFTokenizer(AutoTokenizer.from_pretrained(name_or_path))
     except Exception:
+        vendored = _load_vendored_bpe(name_or_path)
+        if vendored is not None:
+            return vendored
         if not allow_fallback:
             raise
         import warnings
@@ -115,6 +128,20 @@ def load_tokenizer(name_or_path: str, allow_fallback: bool = True):
         warnings.warn(
             f"Tokenizer '{name_or_path}' unavailable (offline?); using the "
             "byte-level fallback tokenizer. Text output will not match the "
-            "real SmolLM2 tokenizer."
+            "real SmolLM2 tokenizer. Export the real vocabulary once "
+            "(tok.save_pretrained(dir)) and set MELLOW_TPU_TOKENIZER=dir."
         )
         return ByteTokenizer()
+
+
+def _load_vendored_bpe(name_or_path: str):
+    """BPETokenizer from ``MELLOW_TPU_TOKENIZER`` or a local directory path
+    containing vocab.json + merges.txt; None if neither applies."""
+    import os
+
+    for cand in (os.environ.get("MELLOW_TPU_TOKENIZER"), name_or_path):
+        if cand and os.path.isfile(os.path.join(cand, "vocab.json")):
+            from mellow_tpu.io.bpe import BPETokenizer
+
+            return BPETokenizer.from_dir(cand)
+    return None
