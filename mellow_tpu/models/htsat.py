@@ -283,9 +283,16 @@ def htsat_embedding(
     cfg: HTSATConfig,
     *,
     rng: Optional[jax.Array] = None,
+    mixup_lambda: Optional[jax.Array] = None,
 ) -> dict:
     """Full HTSATWrapper forward (htsat.py:943-955):
-    wave -> (B, 1025, 768) embedding + clip/frame outputs."""
+    wave -> (B, 1025, 768) embedding + clip/frame outputs.
+
+    ``mixup_lambda`` (train only): (B,) mixing weights; even rows are mixed
+    with odd rows and the batch halves, matching the reference's do_mixup
+    applied after bn0/SpecAugment (htsat.py:871-874). Applying it to the
+    folded image is equivalent — folding is a per-row reshape, which
+    commutes with the row-wise convex combination."""
     enc = params["encoder"]
     aug_rng = None if rng is None else jax.random.fold_in(rng, 1000)
     with jax.named_scope("encoder/frontend"):
@@ -293,6 +300,10 @@ def htsat_embedding(
             wave, fe_cfg, enc["bn0"], cfg.freq_ratio, cfg.target_frames,
             augment_rng=aug_rng,
         )
+    if mixup_lambda is not None:
+        from mellow_tpu.train.augment import mixup
+
+        img = mixup(img, mixup_lambda.astype(img.dtype))
     with jax.named_scope("encoder/swin"):
         tokens = swin_features(img, enc, cfg, rng=rng)
     with jax.named_scope("encoder/tscam"):
@@ -391,11 +402,14 @@ def encode_audio(
     cfg: HTSATConfig,
     *,
     rng: Optional[jax.Array] = None,
+    mixup_lambda: Optional[jax.Array] = None,
 ) -> jax.Array:
     """AudioEncoder.forward equivalent (mellow.py:64-68): (B, 320000) ->
     projected (B, 1025, d_proj). ``rng`` enables the train-time stochastic
-    paths (SpecAugment, drop-path, projection dropout)."""
-    out = htsat_embedding(wave, params, fe_cfg, cfg, rng=rng)
+    paths (SpecAugment, drop-path, projection dropout); ``mixup_lambda``
+    halves the batch by mixing even/odd rows (htsat.py:871-874)."""
+    out = htsat_embedding(wave, params, fe_cfg, cfg, rng=rng,
+                          mixup_lambda=mixup_lambda)
     drop_rng = None if rng is None else jax.random.fold_in(rng, 2000)
     return projection(out["embedding"], params["projection"], dropout_rng=drop_rng)
 

@@ -31,6 +31,7 @@ def build_prefix(
     audio_proj1: jax.Array,  # (B, 1025, 576)
     audio_proj2: jax.Array,
     text_ids: jax.Array,  # (B, 129) int32
+    text_embeds: Optional[jax.Array] = None,  # overrides embed[text_ids]
 ) -> jax.Array:
     """(B, 389, 576) = [a1(129) | sep | a2(129) | sep | text(129)]
     (reference: decoder.py:36-55; sep = embed(token 0) for smollm2)."""
@@ -39,7 +40,7 @@ def build_prefix(
     a1 = htsat.downsample_tokens(audio_proj1)
     a2 = htsat.downsample_tokens(audio_proj2)
     embed = get_decoder_ops(cfg.decoder_family).embed_table(params["decoder"])
-    dtext = embed[text_ids].astype(a1.dtype)
+    dtext = embed[text_ids].astype(a1.dtype) if text_embeds is None else text_embeds
     B = a1.shape[0]
     sep = jnp.broadcast_to(
         embed[cfg.sep_token_id][None, None, :], (B, 1, embed.shape[1])
@@ -57,7 +58,8 @@ def encode_and_prefix(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_len", "greedy", "cache_dtype")
+    jax.jit,
+    static_argnames=("cfg", "max_len", "greedy", "cache_dtype", "stop_token_id"),
 )
 def generate_tokens(
     params,
@@ -73,6 +75,7 @@ def generate_tokens(
     rng: Optional[jax.Array] = None,
     cache_dtype: str = "float32",
     initial_done: Optional[jax.Array] = None,
+    stop_token_id: Optional[int] = None,  # default: cfg.stop_token_id
 ) -> gen.GenerateResult:
     """End-to-end: two waveforms + prompt ids -> generated token ids.
     One compiled program: encoder x2, prefix assembly, prefill, decode loop."""
@@ -82,7 +85,9 @@ def generate_tokens(
         cfg.decoder,
         prefix,
         max_len=max_len,
-        stop_token_id=cfg.stop_token_id,
+        stop_token_id=(
+            cfg.stop_token_id if stop_token_id is None else stop_token_id
+        ),
         greedy=greedy,
         top_p=top_p,
         temperature=temperature,
@@ -104,6 +109,7 @@ def forward_train(
     *,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    mixup_lambda: Optional[jax.Array] = None,  # (B,) train-time mixup weights
 ) -> Tuple[jax.Array, dict]:
     """Training objective (reference: decoder.py:57-90 + mellow.py:89-98):
     next-token CE over the answer span, prefix positions masked out.
@@ -112,18 +118,37 @@ def forward_train(
     crashes as written (``torch.cat((dummy_token, tokens))`` concatenates a
     dict, decoder.py:88); this implements the documented intent — prefix
     labels masked, CE over answer tokens (SURVEY.md section 3.5).
+
+    ``mixup_lambda`` enables mixup (reference htsat.py:30-41,871-874): the
+    spectrograms are mixed even-row/odd-row inside the HTSAT forward, text
+    and answer INPUT embeddings are mixed with the same weights, and the
+    label side uses the standard mixup-CE convex combination
+    ``lam * CE(y_even) + (1-lam) * CE(y_odd)``. The batch halves.
     """
     rng1 = None if rng is None else jax.random.fold_in(rng, 0)
     rng2 = None if rng is None else jax.random.fold_in(rng, 1)
-    p1 = htsat.encode_audio(audio1, params, cfg.frontend, cfg.encoder, rng=rng1)
-    p2 = htsat.encode_audio(audio2, params, cfg.frontend, cfg.encoder, rng=rng2)
-    prefix = build_prefix(params, cfg, p1, p2, text_ids)  # (B, 389, D)
+    p1 = htsat.encode_audio(audio1, params, cfg.frontend, cfg.encoder,
+                            rng=rng1, mixup_lambda=mixup_lambda)
+    p2 = htsat.encode_audio(audio2, params, cfg.frontend, cfg.encoder,
+                            rng=rng2, mixup_lambda=mixup_lambda)
 
     from mellow_tpu.models.decoders import get_decoder_ops
 
     ops = get_decoder_ops(cfg.decoder_family)
     embed = ops.embed_table(params["decoder"])
-    ans_emb = embed[answer_ids].astype(prefix.dtype)
+    ans_emb = embed[answer_ids].astype(p1.dtype)
+    if mixup_lambda is None:
+        prefix = build_prefix(params, cfg, p1, p2, text_ids)  # (B, 389, D)
+    else:
+        from mellow_tpu.train.augment import mixup
+
+        lam = mixup_lambda
+        dtext = embed[text_ids].astype(p1.dtype)
+        prefix = build_prefix(
+            params, cfg, p1, p2, text_ids,
+            text_embeds=mixup(dtext, lam.astype(dtext.dtype)),
+        )
+        ans_emb = mixup(ans_emb, lam.astype(ans_emb.dtype))
     seq = jnp.concatenate([prefix, ans_emb], axis=1)  # (B, 389+T, D)
 
     logits = ops.forward(params["decoder"], cfg.decoder, seq, remat=remat)
@@ -131,14 +156,35 @@ def forward_train(
     # Position P-1+t predicts answer token t.
     pred = logits[:, P - 1 : -1, :]  # (B, T_ans, V)
     logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
-    tok_lp = jnp.take_along_axis(logp, answer_ids[..., None], axis=-1)[..., 0]
-    mask = answer_mask.astype(jnp.float32)
-    loss = -(tok_lp * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    if mixup_lambda is None:
+        tok_lp = jnp.take_along_axis(logp, answer_ids[..., None], axis=-1)[..., 0]
+        mask = answer_mask.astype(jnp.float32)
+        acc_ids, acc_mask = answer_ids, mask
+    else:
+        lp_even = jnp.take_along_axis(
+            logp, answer_ids[0::2][..., None], axis=-1)[..., 0]
+        lp_odd = jnp.take_along_axis(
+            logp, answer_ids[1::2][..., None], axis=-1)[..., 0]
+        lam_f = mixup_lambda.astype(jnp.float32)
+        w_even = lam_f[0::2, None] * answer_mask[0::2].astype(jnp.float32)
+        w_odd = lam_f[1::2, None] * answer_mask[1::2].astype(jnp.float32)
+        tok_lp = lp_even * w_even + lp_odd * w_odd
+        mask = w_even + w_odd  # per-token total weight
+        # report accuracy against the dominant-row labels
+        acc_ids = jnp.where(
+            (lam_f[0::2] >= lam_f[1::2])[:, None], answer_ids[0::2], answer_ids[1::2]
+        )
+        acc_mask = jnp.where(w_even >= w_odd,
+                             answer_mask[0::2], answer_mask[1::2]).astype(jnp.float32)
+    if mixup_lambda is None:
+        loss = -(tok_lp * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    else:
+        loss = -tok_lp.sum() / jnp.maximum(mask.sum(), 1.0)
     metrics = {
         "loss": loss,
         "num_answer_tokens": mask.sum(),
-        "accuracy": ((jnp.argmax(pred, -1) == answer_ids) * mask).sum()
-        / jnp.maximum(mask.sum(), 1.0),
+        "accuracy": ((jnp.argmax(pred, -1) == acc_ids) * acc_mask).sum()
+        / jnp.maximum(acc_mask.sum(), 1.0),
     }
     return loss, metrics
 

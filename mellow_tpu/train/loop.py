@@ -32,6 +32,7 @@ def train(
     log_every: int = 20,
     seed: int = 0,
     remat: bool = False,
+    mixup: bool = False,  # reference htsat.py:871-874 train-time mixup
 ) -> step_mod.TrainState:
     optimizer = step_mod.make_optimizer(learning_rate=learning_rate)
     # Private copy: train_step donates its state, which would otherwise
@@ -67,7 +68,8 @@ def train(
             step_rng = jax.random.fold_in(rng, step_count)
             with metrics.timer("train_step"):
                 state, m = step_mod.train_step(
-                    state, cfg, optimizer, batch, step_rng, remat=remat
+                    state, cfg, optimizer, batch, step_rng, remat=remat,
+                    mixup=mixup,
                 )
             step_count += 1
             metrics.count("train_steps", 1)

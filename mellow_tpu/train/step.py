@@ -50,7 +50,7 @@ def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> T
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "optimizer", "remat"),
+    static_argnames=("cfg", "optimizer", "remat", "mixup"),
     donate_argnames=("state",),
 )
 def train_step(
@@ -60,12 +60,22 @@ def train_step(
     batch: dict,  # audio1, audio2, text_ids, answer_ids, answer_mask
     rng: jax.Array,
     remat: bool = False,
+    mixup: bool = False,
 ) -> Tuple[TrainState, dict]:
+    mixup_lambda = None
+    if mixup:
+        from mellow_tpu.train.augment import sample_mixup_lambda
+
+        mixup_lambda = sample_mixup_lambda(
+            jax.random.fold_in(rng, 7), batch["audio1"].shape[0]
+        )
+
     def loss_fn(params):
         return mellow_model.forward_train(
             params, cfg,
             batch["audio1"], batch["audio2"], batch["text_ids"],
             batch["answer_ids"], batch["answer_mask"], rng=rng, remat=remat,
+            mixup_lambda=mixup_lambda,
         )
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -118,6 +118,49 @@ def test_overfit_one_batch_loss_drops(tiny_dataset):
     assert int(state.step) == 6
 
 
+def test_forward_train_mixup_identity(tiny_dataset):
+    """With lam = [1,0,1,0] the mixed batch IS the even rows, so the mixup
+    loss must equal the plain loss on the even-row sub-batch (this pins both
+    the htsat-side do_mixup wiring and the mixed-label CE formula)."""
+    examples = load_json(tiny_dataset)
+    loader = ReasonAQALoader(
+        examples, ByteTokenizer(), SMALL, batch_size=4, answer_len=12
+    )
+    batch = {k: jnp.asarray(v) for k, v in next(loader.epoch(0)).items()}
+    params = jmellow.init_params(jax.random.PRNGKey(0), SMALL)
+
+    lam = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    loss_mix, m_mix = jmellow.forward_train(
+        params, SMALL, batch["audio1"], batch["audio2"], batch["text_ids"],
+        batch["answer_ids"], batch["answer_mask"], mixup_lambda=lam,
+    )
+    even = {k: v[0::2] for k, v in batch.items()}
+    loss_even, m_even = jmellow.forward_train(
+        params, SMALL, even["audio1"], even["audio2"], even["text_ids"],
+        even["answer_ids"], even["answer_mask"],
+    )
+    np.testing.assert_allclose(float(loss_mix), float(loss_even), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_mix["accuracy"]), float(m_even["accuracy"]), rtol=1e-5
+    )
+
+
+def test_train_step_mixup_runs(tiny_dataset):
+    examples = load_json(tiny_dataset)
+    loader = ReasonAQALoader(
+        examples, ByteTokenizer(), SMALL, batch_size=4, answer_len=12
+    )
+    batch = {k: jnp.asarray(v) for k, v in next(loader.epoch(0)).items()}
+    params = jmellow.init_params(jax.random.PRNGKey(0), SMALL)
+    optimizer = step_mod.make_optimizer(learning_rate=3e-3, warmup_steps=1)
+    state = step_mod.init_train_state(params, optimizer)
+    state, m = step_mod.train_step(
+        state, SMALL, optimizer, batch, jax.random.PRNGKey(0), mixup=True
+    )
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 1
+
+
 def test_checkpoint_roundtrip(tmp_path):
     params = jmellow.init_params(jax.random.PRNGKey(0), SMALL)
     optimizer = step_mod.make_optimizer()
