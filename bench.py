@@ -1,9 +1,16 @@
 """Benchmark harness — runs on the real TPU chip (axon platform).
 
 Measures the BASELINE.json north-star metrics:
-  * decode tokens/sec/chip (batched, static KV cache, bf16 perf mode)
-  * mel+encoder clips/sec/chip (batched clip pairs)
-  * p50 end-to-end generate latency
+  * decode tokens/sec/chip, swept over (batch, kv-cache dtype, weight dtype)
+    — int8 weights via llama.quantize_decoder (decode is weight+cache
+    streaming bound, so the sweep targets HBM bytes/step);
+  * mel+encoder clips/sec/chip (batched clip pairs);
+  * p50 end-to-end generate latency.
+
+Every rate is reported next to its roofline position (% of the chip's
+measured 530 GB/s streaming or 158 TFLOP/s bf16 — mellow_tpu/utils/
+roofline.py), plus the bf16-vs-quantized token divergence, so the numbers
+show where each stage sits vs the hardware, not just vs the driver floor.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with the
 primary metric (decode tokens/sec/chip; baseline target 5000 from
@@ -34,50 +41,87 @@ def main():
 
     from mellow_tpu.config import get_config
     from mellow_tpu.models import generate as gen
-    from mellow_tpu.models import htsat, mellow as mellow_model
+    from mellow_tpu.models import htsat, llama, mellow as mellow_model
+    from mellow_tpu.utils import roofline as rf
 
     cfg = get_config("v0")
     dtype = jnp.bfloat16
     log(f"devices: {jax.devices()}")
 
     params = mellow_model.init_params(jax.random.PRNGKey(0), cfg, dtype)
+    dec_bf16 = params["decoder"]
+    dec_int8w = llama.quantize_decoder(dec_bf16, cfg.decoder)
 
     # ------------------------------------------------------------------
-    # 1) decode tokens/sec/chip: batched greedy decode with KV cache.
+    # 1) decode tokens/sec/chip: (B, cache dtype, weight dtype) sweep.
     # ------------------------------------------------------------------
-    B, max_len = 64, 128
+    max_len = 128
+    P = cfg.prefix_length
+    s_max = P + max_len
     rng = np.random.RandomState(0)
-    prefix = jnp.asarray(
-        rng.randn(B, cfg.prefix_length, cfg.d_proj) * 0.02, dtype
-    )
 
-    def run_decode(cache_dtype):
+    def run_decode(dec, B, cache_dtype, prefix):
         return gen.generate(
-            params["decoder"], cfg.decoder, prefix,
-            max_len=max_len, stop_token_id=-1,  # never fires: fixed-length run
+            dec, cfg.decoder, prefix,
+            max_len=max_len, stop_token_id=-1,  # never fires: fixed-length
             greedy=True, cache_dtype=cache_dtype,
         )
 
+    sweep = [
+        # (B, cache_dtype, weight_dtype)  -- weight int8 = quantize_decoder
+        (64, "bfloat16", "bfloat16"),
+        (64, "int8", "bfloat16"),
+        (64, "int8", "int8"),
+        (128, "int8", "int8"),
+        (256, "int8", "int8"),
+    ]
+    results = {}
     best = (0.0, None)
-    for cache_dtype in ("bfloat16", "int8"):
+    prefixes = {}
+    for B, cache_dtype, weight_dtype in sweep:
+        if B not in prefixes:
+            prefixes[B] = jnp.asarray(
+                rng.randn(B, P, cfg.d_proj) * 0.02, dtype
+            )
+        dec = dec_int8w if weight_dtype == "int8" else dec_bf16
+        key = (B, cache_dtype, weight_dtype)
         t0 = time.time()
-        res = run_decode(cache_dtype)
+        res = run_decode(dec, B, cache_dtype, prefixes[B])
         res.tokens.block_until_ready()
-        log(f"decode[{cache_dtype}] compile+first run: {time.time() - t0:.1f}s")
+        log(f"decode{key} compile+first run: {time.time() - t0:.1f}s")
         times = []
         for _ in range(3):
             t0 = time.time()
-            res = run_decode(cache_dtype)
+            res = run_decode(dec, B, cache_dtype, prefixes[B])
             res.tokens.block_until_ready()
             times.append(time.time() - t0)
         steps = int(res.num_steps)
         tps = B * steps / min(times)
-        log(f"decode[{cache_dtype}]: B={B} steps={steps} "
-            f"time={min(times):.3f}s -> {tps:,.0f} tok/s")
+        steps_per_s = steps / min(times)
+        byts = rf.decode_step_bytes(cfg.decoder, B, s_max, cache_dtype, weight_dtype)
+        flops = rf.decode_step_flops(cfg.decoder, B, s_max)
+        bw = steps_per_s * byts
+        fl = steps_per_s * flops
+        log(
+            f"decode{key}: steps={steps} time={min(times):.3f}s -> "
+            f"{tps:,.0f} tok/s | {byts/1e6:.0f} MB/step -> "
+            f"{bw/1e9:.0f} GB/s ({rf.pct(bw/rf.PEAK_HBM_BYTES)} of streaming "
+            f"roofline), {fl/1e12:.2f} TFLOP/s ({rf.pct(fl/rf.PEAK_BF16_FLOPS)} MFU)"
+        )
+        results[key] = (tps, np.asarray(res.tokens))
         if tps > best[0]:
-            best = (tps, cache_dtype)
-    tokens_per_s, best_mode = best
-    log(f"decode best mode: {best_mode}")
+            best = (tps, key)
+    tokens_per_s, best_key = best
+    log(f"decode best mode: B={best_key[0]} cache={best_key[1]} weights={best_key[2]}")
+
+    # bf16-vs-quantized token divergence at B=64 (same prefix, greedy)
+    t_ref = results[(64, "bfloat16", "bfloat16")][1]
+    t_q = results[(64, "int8", "int8")][1]
+    agree = float((t_ref == t_q).mean())
+    first_div = int(np.argmax((t_ref != t_q).any(axis=0))) if (t_ref != t_q).any() else max_len
+    log(f"quantized-vs-bf16 token agreement: {agree:.3f} "
+        f"(first divergent step: {first_div}/{max_len}; random weights — "
+        f"real-checkpoint agreement is typically higher)")
 
     # ------------------------------------------------------------------
     # 2) encoder clips/sec/chip
@@ -86,21 +130,26 @@ def main():
     wave = jnp.asarray(rng.randn(Be, 320000) * 0.1, dtype)
 
     @jax.jit
-    def enc_loop(w):
+    def enc_loop(p, w):
         # reps chained encoder passes inside ONE program: amortizes the
         # host<->device dispatch RTT that dominates single-call timing on
-        # a tunneled chip.
+        # a tunneled chip. Params travel as a jit ARGUMENT — closing over
+        # them inlines ~28M floats into the serialized HLO and trips the
+        # remote-compile request-size limit (CLAUDE.md).
         def body(i, acc):
-            r = htsat.encode_audio(w + acc * 0, params, cfg.frontend, cfg.encoder)
+            r = htsat.encode_audio(w + acc * 0, p, cfg.frontend, cfg.encoder)
             return jnp.sum(r.astype(jnp.float32)) * 1e-12
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    float(enc_loop(wave))
+    float(enc_loop(params, wave))
     t0 = time.time()
-    float(enc_loop(wave))
+    float(enc_loop(params, wave))
     dt = (time.time() - t0) / reps
     clips_per_s = Be / dt
-    log(f"encoder: B={Be} time={dt:.3f}s/pass -> {clips_per_s:,.0f} clips/s")
+    enc_fl = clips_per_s * rf.encoder_flops(cfg)
+    log(f"encoder: B={Be} time={dt:.3f}s/pass -> {clips_per_s:,.0f} clips/s | "
+        f"{rf.encoder_flops(cfg)/1e9:.1f} GFLOP/clip -> {enc_fl/1e12:.1f} "
+        f"TFLOP/s ({rf.pct(enc_fl/rf.PEAK_BF16_FLOPS)} MFU)")
 
     # ------------------------------------------------------------------
     # 3) p50 end-to-end generate latency (single example pair, 32 tokens)

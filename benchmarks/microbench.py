@@ -132,20 +132,26 @@ def bench_prefill(cfg, B: int, reps: int, dtype):
     return {"prefill_tokens_per_s": round(toks, 1)}
 
 
-def bench_decode(cfg, B: int, steps: int, dtype, cache_dtype: str):
-    """Batched greedy decode with the packed KV cache."""
+def bench_decode(cfg, B: int, steps: int, dtype, cache_dtype: str,
+                 weight_dtype: str = "bfloat16"):
+    """Batched greedy decode with the packed KV cache; weight_dtype="int8"
+    runs the quantize_decoder path (per-channel int8 matmul weights)."""
     import jax
     import jax.numpy as jnp
 
-    from mellow_tpu.models import generate as gen, mellow as mellow_model
+    from mellow_tpu.models import generate as gen, llama, mellow as mellow_model
+    from mellow_tpu.utils import roofline as rf
 
     params = mellow_model.init_params(jax.random.PRNGKey(0), cfg, dtype)
+    dec = params["decoder"]
+    if weight_dtype == "int8":
+        dec = llama.quantize_decoder(dec, cfg.decoder)
     rng = np.random.RandomState(0)
     prefix = jnp.asarray(rng.randn(B, cfg.prefix_length, cfg.d_proj) * 0.02, dtype)
 
     def run():
         res = gen.generate(
-            params["decoder"], cfg.decoder, prefix,
+            dec, cfg.decoder, prefix,
             max_len=steps, stop_token_id=-1, greedy=True,
             cache_dtype=cache_dtype,
         )
@@ -159,9 +165,14 @@ def bench_decode(cfg, B: int, steps: int, dtype, cache_dtype: str):
         run()
         times.append(time.time() - t0)
     tps = B * steps / min(times)
-    log(f"decode[{cache_dtype}]: B={B} steps={steps} "
-        f"time={min(times):.3f}s -> {tps:,.0f} tok/s")
-    return {f"decode_{cache_dtype}_tokens_per_s": round(tps, 1)}
+    s_max = cfg.prefix_length + steps
+    bw = (steps / min(times)) * rf.decode_step_bytes(
+        cfg.decoder, B, s_max, cache_dtype, weight_dtype
+    )
+    log(f"decode[cache={cache_dtype},w={weight_dtype}]: B={B} steps={steps} "
+        f"time={min(times):.3f}s -> {tps:,.0f} tok/s | {bw/1e9:.0f} GB/s "
+        f"({rf.pct(bw/rf.PEAK_HBM_BYTES)} of streaming roofline)")
+    return {f"decode_{cache_dtype}_w{weight_dtype}_tokens_per_s": round(tps, 1)}
 
 
 def main():
@@ -173,6 +184,9 @@ def main():
     ap.add_argument("--reps", type=int, default=10, help="passes per timing loop")
     ap.add_argument("--cache-dtype", default="bfloat16",
                     choices=["float32", "bfloat16", "int8"])
+    ap.add_argument("--weight-dtype", default="bfloat16",
+                    choices=["bfloat16", "int8"],
+                    help="decoder matmul weights (int8 = quantize_decoder)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU backend (harness smoke test only)")
     ap.add_argument("--fp32", action="store_true",
@@ -199,7 +213,8 @@ def main():
         out.update(bench_prefill(cfg, min(args.batch, 8), args.reps, dtype))
     if args.component in ("decode", "all"):
         B = args.batch if args.component == "decode" else 64
-        out.update(bench_decode(cfg, B, args.steps, dtype, args.cache_dtype))
+        out.update(bench_decode(cfg, B, args.steps, dtype, args.cache_dtype,
+                                args.weight_dtype))
     print(json.dumps(out))
 
 

@@ -109,6 +109,51 @@ def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def _mm(x: jax.Array, w) -> jax.Array:
+    """Matmul against a possibly weight-quantized kernel.
+
+    Float kernel: plain ``x @ w``. int8 kernel ``{"q": int8 (.., in, out),
+    "scale": fp32 (.., out)}``: the int8 values are what stream from HBM
+    (the convert fuses into the dot's operand load) and the per-output-column
+    scale folds in AFTER the matmul — decode is weight-streaming bound, so
+    halving the bytes is ~2x step-rate headroom (BENCH r1: 103 GB/s of the
+    chip's 530 GB/s)."""
+    if isinstance(w, dict):
+        return (x @ w["q"].astype(x.dtype)) * w["scale"].astype(x.dtype)
+    return x @ w
+
+
+def quantize_weight(w: jax.Array) -> dict:
+    """Symmetric per-output-channel int8 (kernels are stored (.., in, out);
+    the scale is per out column, amax over the contraction axis)."""
+    wf = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.squeeze(-2)}
+
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_decoder(params: dict, cfg: LlamaConfig) -> dict:
+    """int8-weight inference mode (perf, non-parity): quantize every
+    per-layer matmul kernel and the logits head. The embedding GATHER keeps
+    the float table (it reads only B rows/step); the logits matmul — which
+    streams all V*D weights every step — gets a quantized copy under
+    ``lm_head_q`` that ``logits_from_hidden`` prefers when present."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in _QUANT_KEYS:
+        layers[k] = quantize_weight(layers[k])
+    out["layers"] = layers
+    head = (
+        params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    )
+    out["lm_head_q"] = quantize_weight(head)
+    return out
+
+
 def rope_tables(cfg: LlamaConfig, max_len: int, dtype=jnp.float32) -> Tuple[np.ndarray, np.ndarray]:
     """cos/sin tables, HF convention: emb = concat(freqs, freqs)."""
     inv_freq = 1.0 / (
@@ -178,9 +223,9 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None, use_flash=Fals
 
     with jax.named_scope("decoder/attn_proj"):
         h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
-        q = (h @ lp["wq"]).reshape(B, S, H, hd)
-        k = (h @ lp["wk"]).reshape(B, S, KV, hd)
-        v = (h @ lp["wv"]).reshape(B, S, KV, hd)
+        q = _mm(h, lp["wq"]).reshape(B, S, H, hd)
+        k = _mm(h, lp["wk"]).reshape(B, S, KV, hd)
+        v = _mm(h, lp["wv"]).reshape(B, S, KV, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -206,12 +251,12 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None, use_flash=Fals
             attn = attn + mask[:, :, None]  # (B?, 1|H, q, k) -> broadcast rep
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         o = jnp.einsum("bhrqk,bkhd->bqhrd", attn, v_att).reshape(B, S, H * hd)
-    x = x + o @ lp["wo"]
+    x = x + _mm(o, lp["wo"])
 
     h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(h @ lp["w_gate"])
-    up = h @ lp["w_up"]
-    x = x + (gate * up) @ lp["w_down"]
+    gate = jax.nn.silu(_mm(h, lp["w_gate"]))
+    up = _mm(h, lp["w_up"])
+    x = x + _mm(gate * up, lp["w_down"])
     return x, (k, v)
 
 
@@ -249,6 +294,8 @@ def forward(
 
 
 def logits_from_hidden(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
+    if "lm_head_q" in params:  # int8-weight perf mode (quantize_decoder)
+        return _mm(x, params["lm_head_q"])
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     return x @ head.astype(x.dtype)
 
@@ -376,9 +423,9 @@ def decode_step(
             k_sc = v_sc = None
 
         h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
-        q = (h @ lp["wq"]).reshape(B, 1, H, hd)
-        k = (h @ lp["wk"]).reshape(B, 1, KV, hd)
-        v = (h @ lp["wv"]).reshape(B, 1, KV, hd)
+        q = _mm(h, lp["wq"]).reshape(B, 1, H, hd)
+        k = _mm(h, lp["wk"]).reshape(B, 1, KV, hd)
+        v = _mm(h, lp["wv"]).reshape(B, 1, KV, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         packed = cache.k.shape[-1]  # lane-aligned (>= KV*hd, zeros beyond)
@@ -421,12 +468,12 @@ def decode_step(
             eye,
         )
         o = (o / denom.reshape(B, KV, rep, 1)).reshape(B, 1, H * hd)
-        x = x + o @ lp["wo"]
+        x = x + _mm(o, lp["wo"])
 
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(h @ lp["w_gate"])
-        up = h @ lp["w_up"]
-        x = x + (gate * up) @ lp["w_down"]
+        gate = jax.nn.silu(_mm(h, lp["w_gate"]))
+        up = _mm(h, lp["w_up"])
+        x = x + _mm(gate * up, lp["w_down"])
         # pending stays in the compute dtype; quantization (if any) happens
         # at the next step's flush.
         return (x,), (

@@ -1,0 +1,94 @@
+"""Analytic FLOPs/bytes models for roofline (MFU / bandwidth-utilization)
+reporting (VERDICT r1 weak #3: rates alone don't show where each stage sits
+vs the chip). Peaks are the MEASURED v5e-1 numbers from CLAUDE.md, not
+datasheet values.
+
+The decode step is modeled as pure streaming: every step reads all decoder
+matmul weights once plus the whole (padded) KV cache; activations are
+negligible at these sizes. The encoder is modeled by FLOPs (it is
+compute-shaped: big window-attention/MLP matmuls over 4096..64 tokens).
+"""
+
+from __future__ import annotations
+
+from mellow_tpu.config import LlamaConfig, MellowConfig
+
+# Measured on this chip (CLAUDE.md "Performance facts").
+PEAK_BF16_FLOPS = 158e12  # bf16 matmul TFLOP/s
+PEAK_HBM_BYTES = 530e9    # streaming read GB/s
+
+
+def _dtype_bytes(name: str) -> float:
+    return {"float32": 4, "bfloat16": 2, "int8": 1}[str(name)]
+
+
+def decoder_matmul_params(cfg: LlamaConfig) -> int:
+    """Per-layer matmul weights (what streams every decode step), excluding
+    the embedding/logits head."""
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    per_layer = D * H * hd + 2 * D * KV * hd + H * hd * D + 3 * D * I
+    return cfg.num_layers * per_layer
+
+
+def decode_step_bytes(
+    cfg: LlamaConfig, batch: int, s_max: int,
+    cache_dtype: str = "bfloat16", weight_dtype: str = "bfloat16",
+    compute_dtype: str = "bfloat16",
+) -> float:
+    """HBM bytes read per decode step: layer weights + logits head + the
+    full padded KV cache (k and v; int8 adds fp32 scales)."""
+    wb = _dtype_bytes(weight_dtype)
+    layer_bytes = decoder_matmul_params(cfg) * wb
+    head_bytes = cfg.vocab_size * cfg.hidden_size * wb
+    packed = -(-cfg.num_kv_heads * cfg.head_dim // 128) * 128
+    cb = _dtype_bytes(cache_dtype)
+    cache_bytes = 2 * cfg.num_layers * batch * s_max * packed * cb
+    if cache_dtype == "int8":
+        cache_bytes += 2 * cfg.num_layers * batch * s_max * 4  # fp32 scales
+    return layer_bytes + head_bytes + cache_bytes
+
+
+def decode_step_flops(cfg: LlamaConfig, batch: int, s_max: int) -> float:
+    """MACs*2 per decode step (weight matmuls + attention contractions)."""
+    mm = 2 * batch * (
+        decoder_matmul_params(cfg) // cfg.num_layers
+    ) * cfg.num_layers
+    head = 2 * batch * cfg.hidden_size * cfg.vocab_size
+    packed = -(-cfg.num_kv_heads * cfg.head_dim // 128) * 128
+    attn = 2 * 2 * cfg.num_layers * batch * cfg.num_heads * s_max * packed
+    return mm + head + attn
+
+
+def encoder_flops(cfg: MellowConfig) -> float:
+    """FLOPs for one clip through frontend + HTSAT + heads + projection
+    (shape table: SURVEY.md section 3.6). Window attention: every token
+    attends its 64-token window."""
+    enc = cfg.encoder
+    win = enc.window_size ** 2
+    total = 0.0
+    # frontend: DFT-as-matmul (re+im) + mel + bicubic-as-matmul
+    frames, nfft_bins, nfft = 1001, 513, 1024
+    total += 2 * 2 * frames * nfft * nfft_bins            # rFFT matmul
+    total += 2 * frames * nfft_bins * 64                  # mel filterbank
+    total += 2 * 1024 * 1001 * 64                         # bicubic matrix
+    # patch embed conv: (spec/4)^2 tokens x (4*4*1*C)
+    tokens = (256 // enc.patch_size) ** 2
+    total += 2 * tokens * enc.patch_size ** 2 * enc.embed_dim
+    # swin stages: per block ~ 2*T*C^2*(3+1+8) qkv/proj/mlp + 4*T*N*C attn
+    T, C = tokens, enc.embed_dim
+    for si, depth in enumerate(enc.depths):
+        total += depth * (24 * T * C * C + 4 * T * win * C)
+        if si < len(enc.depths) - 1:
+            total += 2 * (T // 4) * (4 * C) * (2 * C)     # patch merging
+            T, C = T // 4, C * 2
+    # tscam conv + c2l + projection MLP
+    nf, nc = enc.num_features, enc.num_classes
+    total += 2 * 32 * nf * nc * 2 * 3                     # tscam conv (2x3)
+    total += 2 * 1024 * nc * nf                           # c2l
+    total += 2 * 1025 * nf * cfg.d_proj + 2 * 1025 * cfg.d_proj * cfg.d_proj
+    return total
+
+
+def pct(x: float) -> str:
+    return f"{100.0 * x:.1f}%"

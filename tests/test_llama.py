@@ -1,6 +1,7 @@
 """Decoder parity: JAX Llama vs the HF LlamaForCausalLM oracle (the exact
-architecture the reference uses, mellow/model/decoder.py:25). Uses a small
-config for speed; the full SmolLM2-135M shape is exercised in test_e2e."""
+architecture the reference uses, mellow/model/decoder.py:25). Most tests use
+a small config for speed; test_fullsize_smollm2_shape_parity covers the real
+30L/576/9:3/49152 production shape (the one checkpoints load into)."""
 
 import numpy as np
 import pytest
@@ -126,6 +127,71 @@ def test_batch_row_independence(small_pair):
         np.testing.assert_array_equal(
             np.asarray(batched.tokens)[i, :n], np.asarray(single.tokens)[0, :n]
         )
+
+
+def test_fullsize_smollm2_shape_parity():
+    """The REAL SmolLM2-135M config (reference decoder.py:25): one HF-oracle
+    forward plus greedy decode steps at B=1. Catches shape/indexing bugs
+    specific to the production config (e.g. the 256-lane packed cache with
+    kv_heads*head_dim=192) that the small configs cannot (VERDICT r1 #4)."""
+    import torch
+
+    cfg = LlamaConfig()  # production defaults = SmolLM2-135M shape
+    assert (cfg.num_layers, cfg.hidden_size, cfg.num_heads,
+            cfg.num_kv_heads, cfg.vocab_size) == (30, 576, 9, 3, 49152)
+    hf = build_hf_model(cfg, seed=0)
+    params = jax.tree.map(jnp.asarray, convert_llama(hf.state_dict(), cfg.num_layers))
+
+    rng = np.random.RandomState(5)
+    B, P = 1, 8
+    prefix = rng.randn(B, P, cfg.hidden_size).astype(np.float32) * 0.1
+
+    # forward logits parity at the full shape
+    with torch.no_grad():
+        ref_logits = hf(inputs_embeds=torch.from_numpy(prefix)).logits.numpy()
+    ours = np.asarray(llama.forward(params, cfg, jnp.asarray(prefix)))
+    np.testing.assert_allclose(ours, ref_logits, atol=5e-4, rtol=5e-4)
+
+    # greedy decode token parity through prefill + packed-cache decode_step
+    max_len, stop = 4, 0
+    ref_tokens = reference_greedy_decode(
+        hf, torch.from_numpy(prefix), max_len, stop
+    ).numpy()
+    res = gen.generate(
+        params, cfg, jnp.asarray(prefix), max_len=max_len,
+        stop_token_id=stop, greedy=True,
+    )
+    n = int(res.num_steps)
+    assert n == ref_tokens.shape[1]
+    np.testing.assert_array_equal(np.asarray(res.tokens)[:, :n], ref_tokens)
+
+
+def test_int8_weight_quantization(small_pair):
+    """quantize_decoder (perf mode): dequant error bounded by the symmetric
+    per-channel step, logits close, and greedy decode tokens mostly agree
+    with the float path on the small config."""
+    _, params = small_pair
+    qparams = llama.quantize_decoder(params, SMALL)
+
+    # per-channel dequant error bound: |W - q*scale| <= scale/2 per column
+    w = np.asarray(params["layers"]["wq"], np.float32)
+    qd = qparams["layers"]["wq"]
+    deq = np.asarray(qd["q"], np.float32) * np.asarray(qd["scale"])[:, None, :]
+    step = np.asarray(qd["scale"])[:, None, :]
+    assert (np.abs(deq - w) <= 0.5 * step + 1e-8).all()
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 7, SMALL.hidden_size).astype(np.float32) * 0.1)
+    ref_logits = np.asarray(llama.forward(params, SMALL, x))
+    q_logits = np.asarray(llama.forward(qparams, SMALL, x))
+    # int8 noise compounds over 4 layers; this guards gross wiring bugs
+    assert np.abs(q_logits - ref_logits).max() < 0.15 * np.abs(ref_logits).max()
+
+    prefix = jnp.asarray(rng.randn(2, 6, SMALL.hidden_size).astype(np.float32) * 0.1)
+    r_f = gen.generate(params, SMALL, prefix, max_len=12, stop_token_id=-1, greedy=True)
+    r_q = gen.generate(qparams, SMALL, prefix, max_len=12, stop_token_id=-1, greedy=True)
+    agree = (np.asarray(r_f.tokens) == np.asarray(r_q.tokens)).mean()
+    assert agree >= 0.75, agree
 
 
 def test_topp_sampling_respects_nucleus(small_pair):
