@@ -64,6 +64,8 @@ class MellowWrapper:
         params: Optional[dict] = None,
         tokenizer=None,
         compute_dtype: Optional[str] = None,
+        weight_dtype: Optional[str] = None,  # "int8": quantize decoder
+        # matmul weights (perf mode, ~halves decode HBM traffic)
         use_native_audio: Optional[bool] = None,  # None = auto-detect
         mesh=None,  # jax.sharding.Mesh for multi-chip data-parallel inference
     ):
@@ -92,12 +94,28 @@ class MellowWrapper:
 
         self.mesh = mesh
         self.params = self._load_params(model, params_path, params)
-        if mesh is not None:
-            # DP inference: params replicated across the mesh, batch sharded
-            # on the data axis (SURVEY.md section 2.4 TPU-native plan).
-            from mellow_tpu.parallel.sharding import replicated
+        if weight_dtype == "int8":
+            from mellow_tpu.models.llama import quantize_decoder
 
-            self.params = jax.device_put(self.params, replicated(mesh))
+            assert self.cfg.decoder_family == "llama", (
+                "int8 weight quantization is implemented for the llama family"
+            )
+            self.params = {
+                **self.params,
+                "decoder": quantize_decoder(
+                    self.params["decoder"], self.cfg.decoder
+                ),
+            }
+        elif weight_dtype is not None:
+            raise ValueError(f"unsupported weight_dtype {weight_dtype!r}")
+        if mesh is not None:
+            # DP(+TP) inference: batch sharded on the data axis, decoder
+            # weights sharded on the model axis per mellow_param_specs (with
+            # tp=1 every spec degenerates to replication) — SURVEY.md
+            # section 2.4 TPU-native plan.
+            from mellow_tpu.parallel.sharding import shard_params
+
+            self.params = shard_params(self.params, mesh)
         self.tokenizer = tokenizer or load_tokenizer(
             "HuggingFaceTB/SmolLM2-135M"
         )
@@ -195,13 +213,23 @@ class MellowWrapper:
 
     def preprocess_audio(
         self, audio_files: Sequence[str], do_resample: bool,
-        crop_start: Optional[int] = None,
+        crop_start=None,
     ) -> np.ndarray:
+        """``crop_start``: None = independent random draw per file (the
+        reference draws per file, wrapper.py:161-167); an int pins every
+        file; a sequence pins each file separately."""
+        if crop_start is None or isinstance(crop_start, int):
+            starts = [crop_start] * len(audio_files)
+        else:
+            assert len(crop_start) == len(audio_files), (
+                "crop_start sequence must match the number of files"
+            )
+            starts = list(crop_start)
         segs = [
             self.load_audio_into_array(
-                f, self.cfg.frontend.segment_seconds, do_resample, crop_start
+                f, self.cfg.frontend.segment_seconds, do_resample, s
             )
-            for f in audio_files
+            for f, s in zip(audio_files, starts)
         ]
         return np.stack(segs, axis=0)  # (B, 320000)
 
@@ -245,10 +273,18 @@ class MellowWrapper:
         audio2 = self.preprocess_audio(paths2, audio_resample, crop_start)
         text_ids = self.preprocess_text(prompts)
 
+        # The jitted loop's stop id is derived from the stop_token argument,
+        # like the reference (wrapper.py:208: tokenizer.encode(stop_token)[0]).
+        try:
+            stop_token_id = int(self.tokenizer.encode(stop_token)[0])
+        except Exception:
+            stop_token_id = self.cfg.stop_token_id
+
         with profiling.trace(), metrics.timer("generate"):
             result, n_real = self._generate_device(
                 audio1, audio2, text_ids, max_len, top_p, temperature,
                 sample=sample, seed=seed, kv_cache_dtype=kv_cache_dtype,
+                stop_token_id=stop_token_id,
             )
             texts = self._detokenize(result, n_real, stop_token)
         metrics.count("tokens", n_real * int(result.num_steps))
@@ -258,7 +294,7 @@ class MellowWrapper:
 
     def _generate_device(
         self, audio1, audio2, text_ids, max_len, top_p, temperature,
-        *, sample=False, seed=0, kv_cache_dtype=None,
+        *, sample=False, seed=0, kv_cache_dtype=None, stop_token_id=None,
     ):
         B = audio1.shape[0]
         Bp = _next_pow2(B)  # bucket to bound recompiles
@@ -308,6 +344,7 @@ class MellowWrapper:
                 rng=jax.random.PRNGKey(seed),
                 cache_dtype=kv_cache_dtype or str(dtype),
                 initial_done=initial_done,
+                stop_token_id=stop_token_id,
             )
         return result, B
 

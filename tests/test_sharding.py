@@ -58,6 +58,32 @@ def test_dp_inference_matches_unsharded():
     assert a == b
 
 
+def test_dp_tp_inference_matches_unsharded():
+    """(4 data, 2 model) mesh: decoder weights actually sharded on the model
+    axis (SMALL has 2 KV heads, so attention shards too) — strings must
+    still be identical to the unsharded run (VERDICT r1 next #2)."""
+    params = jmellow.init_params(jax.random.PRNGKey(0), SMALL)
+    w_plain = MellowWrapper(
+        "test_small", "v0", 0, params=params, tokenizer=ByteTokenizer()
+    )
+    mesh = shd.make_mesh(8, tp=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    w_tp = MellowWrapper(
+        "test_small", "v0", 0, params=params, tokenizer=ByteTokenizer(),
+        mesh=mesh,
+    )
+    # the decoder MLP kernels really are distributed, not replicated
+    gate_sharding = w_tp.params["decoder"]["layers"]["w_gate"].sharding
+    assert gate_sharding.spec == P(None, None, "model")
+    ex = [
+        [REF_WAV1, REF_WAV2, "one"],
+        [REF_WAV2, REF_WAV1, "two"],
+    ]
+    a = w_plain.generate(ex, max_len=5)
+    b = w_tp.generate(ex, max_len=5)
+    assert a == b
+
+
 def test_sharded_train_step_matches_unsharded_loss():
     rng = np.random.RandomState(0)
     batch = {
