@@ -54,18 +54,38 @@ def main():
 
     # ------------------------------------------------------------------
     # 1) decode tokens/sec/chip: (B, cache dtype, weight dtype) sweep.
+    #
+    # Steady-state decode rate is measured as the SLOPE between two
+    # generation lengths: per_step = (t_long - t_short)/(LONG - SHORT).
+    # This cancels prefill + dispatch overhead (a profile showed the old
+    # fixed-length timing charged the 86 ms B=64 prefill to every 128-step
+    # window, understating decode by ~1.6x). Prefill and e2e rates are
+    # reported alongside.
     # ------------------------------------------------------------------
-    max_len = 128
+    SHORT, LONG = 16, 144
     P = cfg.prefix_length
-    s_max = P + max_len
+    s_max = P + LONG
     rng = np.random.RandomState(0)
 
-    def run_decode(dec, B, cache_dtype, prefix):
+    def run_decode(dec, B, cache_dtype, prefix, max_len):
         return gen.generate(
             dec, cfg.decoder, prefix,
             max_len=max_len, stop_token_id=-1,  # never fires: fixed-length
             greedy=True, cache_dtype=cache_dtype,
         )
+
+    def time_decode(dec, B, cache_dtype, prefix, max_len, reps=3):
+        t0 = time.time()
+        res = run_decode(dec, B, cache_dtype, prefix, max_len)
+        res.tokens.block_until_ready()
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            res = run_decode(dec, B, cache_dtype, prefix, max_len)
+            res.tokens.block_until_ready()
+            times.append(time.time() - t0)
+        return min(times), compile_s, res
 
     sweep = [
         # (B, cache_dtype, weight_dtype)  -- weight int8 = quantize_decoder
@@ -85,28 +105,24 @@ def main():
             )
         dec = dec_int8w if weight_dtype == "int8" else dec_bf16
         key = (B, cache_dtype, weight_dtype)
-        t0 = time.time()
-        res = run_decode(dec, B, cache_dtype, prefixes[B])
-        res.tokens.block_until_ready()
-        log(f"decode{key} compile+first run: {time.time() - t0:.1f}s")
-        times = []
-        for _ in range(3):
-            t0 = time.time()
-            res = run_decode(dec, B, cache_dtype, prefixes[B])
-            res.tokens.block_until_ready()
-            times.append(time.time() - t0)
-        steps = int(res.num_steps)
-        tps = B * steps / min(times)
-        steps_per_s = steps / min(times)
+        t_short, c1, _ = time_decode(dec, B, cache_dtype, prefixes[B], SHORT)
+        t_long, c2, res = time_decode(dec, B, cache_dtype, prefixes[B], LONG)
+        log(f"decode{key} compiles: {c1:.1f}s + {c2:.1f}s")
+        per_step = (t_long - t_short) / (LONG - SHORT)
+        tps = B / per_step
+        prefill_s = max(t_short - SHORT * per_step, 1e-9)
+        e2e_tps = B * LONG / t_long
         byts = rf.decode_step_bytes(cfg.decoder, B, s_max, cache_dtype, weight_dtype)
         flops = rf.decode_step_flops(cfg.decoder, B, s_max)
-        bw = steps_per_s * byts
-        fl = steps_per_s * flops
+        bw = byts / per_step
+        fl = flops / per_step
         log(
-            f"decode{key}: steps={steps} time={min(times):.3f}s -> "
-            f"{tps:,.0f} tok/s | {byts/1e6:.0f} MB/step -> "
+            f"decode{key}: {per_step*1e3:.2f} ms/step -> {tps:,.0f} tok/s "
+            f"steady-state ({e2e_tps:,.0f} tok/s incl. the {prefill_s*1e3:.0f} ms "
+            f"prefill over {LONG} steps) | {byts/1e6:.0f} MB/step -> "
             f"{bw/1e9:.0f} GB/s ({rf.pct(bw/rf.PEAK_HBM_BYTES)} of streaming "
-            f"roofline), {fl/1e12:.2f} TFLOP/s ({rf.pct(fl/rf.PEAK_BF16_FLOPS)} MFU)"
+            f"roofline), {fl/1e12:.2f} TFLOP/s ({rf.pct(fl/rf.PEAK_BF16_FLOPS)} MFU) | "
+            f"prefill {B*P/prefill_s/1e3:,.0f}k tok/s"
         )
         results[key] = (tps, np.asarray(res.tokens))
         if tps > best[0]:
@@ -118,9 +134,9 @@ def main():
     t_ref = results[(64, "bfloat16", "bfloat16")][1]
     t_q = results[(64, "int8", "int8")][1]
     agree = float((t_ref == t_q).mean())
-    first_div = int(np.argmax((t_ref != t_q).any(axis=0))) if (t_ref != t_q).any() else max_len
+    first_div = int(np.argmax((t_ref != t_q).any(axis=0))) if (t_ref != t_q).any() else LONG
     log(f"quantized-vs-bf16 token agreement: {agree:.3f} "
-        f"(first divergent step: {first_div}/{max_len}; random weights — "
+        f"(first divergent step: {first_div}/{LONG}; random weights — "
         f"real-checkpoint agreement is typically higher)")
 
     # ------------------------------------------------------------------

@@ -1,0 +1,137 @@
+"""Fused Pallas causal GQA attention for the prefill path.
+
+The XLA einsum formulation of prefill attention (llama.py `_layer`)
+materializes the (B, H, S, S) score tensor in HBM — measured 349 MB/layer
+fp32 at B=64, S=389 — plus a rep-broadcast transpose of K (90 MB/layer).
+A profile attributed ~2 ms of the 2.9 ms/layer prefill cost to those
+round-trips. The stock `flash_attention` and `splash_attention` kernels
+were both measured ~2x SLOWER than the einsum at these shapes (hd=64,
+S<=512, 9 heads — block sizes don't fit; benchmarks/exp_prefill_attn.py),
+so this kernel is specialized to the Mellow regime instead:
+
+  * S is small (<=1024 padded): the WHOLE sequence — q (S, H*hd), packed
+    k/v (S, KV*hd), scores (S, S) — fits in VMEM per batch row, so there is
+    no streaming flash recurrence at all; grid = (B,), one program per clip.
+  * GQA is handled by lane-slicing each head's 64-wide block out of the
+    packed projections — no repeat of K/V to H heads anywhere.
+  * scores/softmax run in fp32 on the VPU, entirely on-chip; only the
+    (S, H*hd) output returns to HBM.
+
+Layout contract (exactly what `llama.prefill` has in registers anyway):
+  q: (B, S, H*hd)  RoPE already applied, head h at lanes [h*hd, (h+1)*hd)
+  k: (B, S, KV*hd) RoPE already applied, group g at lanes [g*hd, (g+1)*hd)
+  v: (B, S, KV*hd)
+  Query head h belongs to KV group h // (H // KV) (the (KV, rep) grouping
+  used everywhere in llama.py).
+
+Reference behavior mirrored: mellow/wrapper.py:217 runs HF Llama SDPA
+(causal, no pad mask needed — prefix rows are all real); this kernel is the
+perf-mode (bf16) implementation, the einsum stays for fp32 parity mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30  # large-negative instead of -inf: keeps pad rows finite
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, H, KV, hd, scale, SP):
+    rep = H // KV
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 1)
+    causal = rows >= cols
+    for g in range(KV):
+        k_g = k_ref[0, :, g * hd : (g + 1) * hd]  # (SP, hd)
+        v_g = v_ref[0, :, g * hd : (g + 1) * hd]
+        for r in range(rep):
+            h = g * rep + r
+            q_h = q_ref[0, :, h * hd : (h + 1) * hd]  # (SP, hd)
+            s = jax.lax.dot_general(
+                q_h, k_g, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (SP, SP)
+            s = jnp.where(causal, s, _NEG)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            denom = jnp.sum(e, axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                e.astype(q_ref.dtype), v_g, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (SP, hd)
+            o_ref[0, :, h * hd : (h + 1) * hd] = (o / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "num_kv_heads", "head_dim", "interpret")
+)
+def flash_gqa_prefill(
+    q: jax.Array,  # (B, S, H*hd)
+    k: jax.Array,  # (B, S, KV*hd)
+    v: jax.Array,  # (B, S, KV*hd)
+    *,
+    num_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal GQA attention, returns (B, S, H*hd). Pure function of the
+    packed projections; pads S internally to a 128 multiple (pad rows are
+    computed-but-garbage and sliced away; causality keeps them out of every
+    real row's receptive field)."""
+    B, S, _ = q.shape
+    H, KV, hd = num_heads, num_kv_heads, head_dim
+    SP = -(-S // 128) * 128
+    pad = SP - S
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    scale = 1.0 / np.sqrt(hd)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, H=H, KV=KV, hd=hd, scale=np.float32(scale), SP=SP
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, SP, H * hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SP, KV * hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SP, KV * hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SP, H * hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, SP, H * hd), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * SP * SP * hd,
+            bytes_accessed=q.size * q.dtype.itemsize * 2
+            + 2 * k.size * k.dtype.itemsize,
+            transcendentals=B * H * SP * SP,
+        ),
+    )(q, k, v)
+    return out[:, :S, :]
+
+
+def reference_gqa_prefill(q, k, v, *, num_heads, num_kv_heads, head_dim):
+    """jnp oracle with identical layout contract (for tests/benchmarks)."""
+    B, S, _ = q.shape
+    H, KV, hd = num_heads, num_kv_heads, head_dim
+    rep = H // KV
+    qg = q.reshape(B, S, KV, rep, hd)
+    kg = k.reshape(B, S, KV, hd)
+    vg = v.reshape(B, S, KV, hd)
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)
+    s = jnp.einsum("bqgrd,bkgd->bgrqk", qg, kg) / np.sqrt(hd)
+    s = s.astype(jnp.float32) + mask
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    o = jnp.einsum("bgrqk,bkgd->bqgrd", p, vg)
+    return o.reshape(B, S, H * hd)
