@@ -79,16 +79,26 @@ def _attn_full(cfg: GPT2Config, q, k, v, mask):
     return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
 
-def _layer_full(cfg, x, lp, mask):
+def _layer_full(cfg, x, lp, mask, use_fused=False):
     B, S, D = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
     h = _ln(x, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_eps)
     qkv = h @ lp["w_qkv"] + lp["b_qkv"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    o = _attn_full(
-        cfg, q.reshape(B, S, H, hd), k.reshape(B, S, H, hd),
-        v.reshape(B, S, H, hd), mask,
-    ).reshape(B, S, D)
+    if use_fused:
+        # Whole-sequence-in-VMEM Pallas attention (pure causal, bf16 perf
+        # mode; see llama.prefill + ops/pallas_attention.py). MHA is the
+        # KV == H special case of the GQA kernel.
+        from mellow_tpu.ops.pallas_attention import flash_gqa_prefill
+
+        o = flash_gqa_prefill(
+            q, k, v, num_heads=H, num_kv_heads=H, head_dim=hd
+        )
+    else:
+        o = _attn_full(
+            cfg, q.reshape(B, S, H, hd), k.reshape(B, S, H, hd),
+            v.reshape(B, S, H, hd), mask,
+        ).reshape(B, S, D)
     x = x + o @ lp["w_o"] + lp["b_o"]
     h = _ln(x, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_eps)
     x = x + _gelu_new(h @ lp["w_fc"] + lp["b_fc"]) @ lp["w_proj"] + lp["b_proj"]
@@ -123,9 +133,14 @@ def prefill(params, cfg: GPT2Config, inputs_embeds, cache: GPT2Cache):
     x = inputs_embeds + params["wpe"][pos].astype(inputs_embeds.dtype)
     causal = jnp.tril(jnp.ones((S, S), bool))
     mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
+    use_fused = (
+        inputs_embeds.dtype == jnp.bfloat16
+        and jax.default_backend() in ("tpu", "axon")
+        and S <= 1024
+    )
 
     def body(x, lp):
-        x, (k, v) = _layer_full(cfg, x, lp, mask)
+        x, (k, v) = _layer_full(cfg, x, lp, mask, use_fused=use_fused)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(body, x, params["layers"])

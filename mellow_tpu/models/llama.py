@@ -208,7 +208,10 @@ def _flash_causal_attention(q, k, v):
     return out[:, :S] if pad else out
 
 
-def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None, use_flash=False):
+def _layer(
+    cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None, use_flash=False,
+    use_fused=False,
+):
     """One transformer layer.
 
     x: (B, S, D). mask: additive (1, 1, S, S_kv) or None (pure causal handled
@@ -235,7 +238,21 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None, use_flash=Fals
         k_att, v_att = kv_slot
 
     rep = H // KV
-    if use_flash:
+    if use_fused:
+        # Custom Pallas GQA kernel (pure causal, bf16 perf mode): whole
+        # sequence VMEM-resident per batch row, no HBM score tensor, no KV
+        # repeat — measured 1.70 vs 3.01 ms/layer for the einsum at B=64,
+        # S=389 (benchmarks/exp_prefill_attn.py). fp32 parity mode keeps
+        # the einsum below.
+        from mellow_tpu.ops.pallas_attention import flash_gqa_prefill
+
+        o = flash_gqa_prefill(
+            q.reshape(B, S, H * hd),
+            k_att.reshape(B, S, KV * hd),
+            v_att.reshape(B, S, KV * hd),
+            num_heads=H, num_kv_heads=KV, head_dim=hd,
+        )
+    elif use_flash:
         # Flash path (inference prefill, pure causal): repeat KV to H heads
         # (29 MB at B=64 — cheap next to the O(S^2) scores it avoids).
         k_full = jnp.repeat(k_att, rep, axis=2)
@@ -317,15 +334,20 @@ def prefill(
     # NOTE: the stock Pallas flash-attention kernel was measured SLOWER here
     # (B=64, S=389->512 pad, hd=64, 9 heads: 209 ms vs 106 ms for the einsum
     # formulation on v5e-1 — its block sizes don't suit this tiny head_dim
-    # and the GQA repeat adds traffic), so prefill keeps the einsum path.
-    # _flash_causal_attention stays available via use_flash for larger
-    # shapes.
-    use_flash = False
+    # and the GQA repeat adds traffic). The CUSTOM whole-sequence-in-VMEM
+    # GQA kernel (ops/pallas_attention.py) IS faster (1.70 vs 3.01 ms/layer)
+    # and serves the bf16 perf mode on TPU; fp32 parity mode and CPU keep
+    # the einsum.
+    use_fused = (
+        inputs_embeds.dtype == jnp.bfloat16
+        and jax.default_backend() in ("tpu", "axon")
+        and S <= 1024  # whole-sequence-in-VMEM design bound
+    )
     causal = jnp.tril(jnp.ones((S, S), bool))
     mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
 
     def body(x, lp):
-        x, (k, v) = _layer(cfg, x, lp, cos, sin, mask, use_flash=use_flash)
+        x, (k, v) = _layer(cfg, x, lp, cos, sin, mask, use_fused=use_fused)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(body, inputs_embeds, params["layers"])
