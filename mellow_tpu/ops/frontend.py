@@ -151,13 +151,44 @@ def bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
 def frame_signal(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
     """(B, T) -> (B, n_frames, n_fft) with center=True reflect padding
     (torchlibrosa semantics, htsat.py:647-649). n_frames derives from the
-    static input length (1 + T // hop), so arbitrary-length waves work."""
+    static input length (1 + T // hop), so arbitrary-length waves work.
+
+    Construction: the wave is viewed as (T/g, g) chunks with g =
+    gcd(hop, n_fft) so every frame start lands on a chunk boundary; frame
+    chunk c (c < n_fft/g) across all frames is then ONE strided slice of
+    the chunk axis. The 16 slices + stack lower to plain copies — a TPU
+    profile showed the previous one-shot index gather took 1.9 ms at B=32
+    (11% of the whole encoder); the strided form is a few hundred us.
+    Indices are identical, so values are bit-identical (parity-safe)."""
+    import math
+
     pad = cfg.n_fft // 2
-    n_frames = 1 + x.shape[1] // cfg.hop_length
+    B = x.shape[0]
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    n_frames = 1 + x.shape[1] // hop
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    starts = np.arange(n_frames) * cfg.hop_length
-    # Gather frames via strided reshape: equivalent indices, static shapes.
-    idx = starts[:, None] + np.arange(cfg.n_fft)[None, :]
+    g = math.gcd(hop, n_fft)
+    if g >= 8:  # strided-slice construction
+        need = (n_frames - 1) * hop + n_fft
+        if x.shape[1] < need:
+            x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+        total = -(-x.shape[1] // g) * g
+        if x.shape[1] < total:
+            x = jnp.pad(x, ((0, 0), (0, total - x.shape[1])))
+        chunks = x.reshape(B, total // g, g)
+        ch_hop, ch_frame = hop // g, n_fft // g
+        parts = [
+            jax.lax.slice(
+                chunks,
+                (0, c, 0),
+                (B, c + (n_frames - 1) * ch_hop + 1, g),
+                (1, ch_hop, 1),
+            )
+            for c in range(ch_frame)
+        ]  # each (B, n_frames, g)
+        return jnp.stack(parts, axis=2).reshape(B, n_frames, n_fft)
+    starts = np.arange(n_frames) * hop
+    idx = starts[:, None] + np.arange(n_fft)[None, :]
     return x[:, idx]
 
 
@@ -189,13 +220,14 @@ def log_mel_spectrogram(wave: jax.Array, cfg: FrontendConfig) -> jax.Array:
     return logmel(power_spectrogram(wave, cfg), cfg)
 
 
-# Measured v5e-1 crossover (benchmarks/microbench.py --component melspec):
-# the fused Pallas kernel wins at small batch (B=1: 353 vs 90 clips/s,
-# B=16: 2936 vs 1856) where its single-pass fusion beats XLA's fixed
-# overheads; the jnp matmul pipeline wins at large batch (B=32: 5144 vs
-# 3661, B=64: 9322 vs 4660) where the MXU-tiled DFT/mel matmuls scale and
-# the kernel's per-frame loop does not.
-_PALLAS_MAX_BATCH = 24
+# Measured v5e-1 crossover (benchmarks/microbench.py --component melspec).
+# After frame_signal's strided-slice rewrite the jnp pipeline beats the
+# fused Pallas kernel everywhere except B=1 (jnp/pallas clips/s —
+# B=1: 325/384, B=8: 2749/2061, B=16: 4360/3065, B=32: 7158/3973,
+# B=64: 8756/4622): the kernel's per-frame fill loop is its scaling wall,
+# while the pipeline is now pure MXU matmuls + copies. The kernel keeps
+# the single-clip latency case only.
+_PALLAS_MAX_BATCH = 1
 
 
 def log_mel_auto(wave: jax.Array, cfg: FrontendConfig) -> jax.Array:
