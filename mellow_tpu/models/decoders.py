@@ -17,11 +17,11 @@ def get_decoder_ops(family: str) -> SimpleNamespace:
             create_cache=m.KVCache.create,
             prefill=m.prefill,
             decode_step=m.decode_step,
+            flush_pending=m.flush_pending,
             logits_from_hidden=m.logits_from_hidden,
             embed_table=lambda params: params["embed"],
             init_params=m.init_params,
             forward=m.forward,
-            cache_seq_axis=2,
         )
     if family == "gpt2":
         from mellow_tpu.models import gpt2 as m
@@ -31,10 +31,10 @@ def get_decoder_ops(family: str) -> SimpleNamespace:
             create_cache=m.GPT2Cache.create,
             prefill=m.prefill,
             decode_step=m.decode_step,
+            flush_pending=m.flush_pending,
             logits_from_hidden=m.logits_from_hidden,
             embed_table=lambda params: params["wte"],
             init_params=m.init_params,
             forward=m.forward,
-            cache_seq_axis=2,
         )
     raise ValueError(f"unknown decoder family '{family}' (llama|gpt2)")

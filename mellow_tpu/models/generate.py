@@ -64,7 +64,8 @@ def _sample_token(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_len", "stop_token_id", "greedy", "cache_dtype", "family"
+        "cfg", "max_len", "stop_token_id", "greedy", "cache_dtype", "family",
+        "flush_window",
     ),
 )
 def generate(
@@ -81,12 +82,26 @@ def generate(
     cache_dtype: str = "float32",
     initial_done: Optional[jax.Array] = None,  # (B,) bool: padding rows
     family: str = "llama",
+    flush_window: int = 8,
 ) -> GenerateResult:
+    """``flush_window`` (W): decode steps per KV-cache flush. The per-step
+    cache scatter is RMW-tile bound — writing W rows costs the same as one
+    (profiled 62 us/buffer at B=64) — so the loop body unrolls W sub-steps
+    whose k/v ride as single-position ``pending`` entries and flushes once.
+    Measured on v5e-1 at B=64 int8: W=1 38.8k, W=4 39.3k, W=8 40.7k tok/s
+    steady-state (the win is bounded by the extra per-layer pending slices
+    each sub-step streams). Token strings are unaffected in float-cache
+    modes (identical math; stop handling may run up to W-1 extra discarded
+    steps, which the reference's no-early-exit trim also produces,
+    wrapper.py:247-254); int8 caches see slightly HIGHER fidelity for the
+    trailing window (pending rides unquantized)."""
     from mellow_tpu.models.decoders import get_decoder_ops
 
     ops = get_decoder_ops(family)
     B, P, D = prefix_embeds.shape
-    S_max = P + max_len
+    W = max(1, min(flush_window, max_len))
+    ML = -(-max_len // W) * W  # token buffer rounded up to whole windows
+    S_max = P + ML
     dtype = prefix_embeds.dtype
     cache = ops.create_cache(cfg, B, S_max, jnp.dtype(cache_dtype))
 
@@ -104,29 +119,18 @@ def generate(
             return ops.decode_step(params, cfg, tok_embed, cache, pending)
 
     hidden, cache = ops.prefill(params, cfg, prefix_embeds, cache)
-    # Seed the deferred-write pipeline with the last prefix position's k/v
-    # (flushing it is a semantic no-op; see llama.decode_step docstring).
-    axis = ops.cache_seq_axis
-    pk0 = jax.lax.dynamic_slice_in_dim(cache.k, P - 1, 1, axis=axis)
-    pv0 = jax.lax.dynamic_slice_in_dim(cache.v, P - 1, 1, axis=axis)
-    if getattr(cache, "k_scale", None) is not None:
-        # int8 cache: pending rides dequantized; requantization at flush is
-        # exact for already-quantized values.
-        ksc0 = jax.lax.dynamic_slice_in_dim(cache.k_scale, P - 1, 1, axis=axis)
-        vsc0 = jax.lax.dynamic_slice_in_dim(cache.v_scale, P - 1, 1, axis=axis)
-        pk0 = pk0.astype(dtype) * ksc0[..., None].astype(dtype)
-        pv0 = pv0.astype(dtype) * vsc0[..., None].astype(dtype)
-    pending0 = (pk0, pv0)
+    # cache.length == P: every prefix position is flushed; pending starts
+    # empty and is always empty again at window boundaries, so the loop
+    # state has a static pytree structure.
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     class State(NamedTuple):
         cache: KVCache
-        pending: tuple
-        tokens: jax.Array  # (B, max_len)
+        tokens: jax.Array  # (B, ML)
         last_hidden: jax.Array  # (B, D)
-        t: jax.Array  # scalar int32
+        t: jax.Array  # scalar int32, multiple of W
         done: jax.Array  # (B,) bool
         rng: jax.Array
 
@@ -136,28 +140,37 @@ def generate(
     embed_table = ops.embed_table(params)
 
     def body(s: State):
-        logits = ops.logits_from_hidden(params, cfg, s.last_hidden)
-        step_rng, rng = jax.random.split(s.rng)
-        next_tok = _sample_token(
-            logits, greedy=greedy, top_p=top_p, temperature=temperature, rng=step_rng
-        )
-        tokens = jax.lax.dynamic_update_slice(s.tokens, next_tok[:, None], (0, s.t))
-        done = jnp.logical_or(s.done, next_tok == stop_token_id)
-        tok_embed = embed_table[next_tok].astype(dtype)  # (B, D)
-        hidden, cache, pending = step(tok_embed, s.cache, s.pending)
-        return State(cache, pending, tokens, hidden, s.t + 1, done, rng)
+        cache, tokens, hidden, done, rng = s.cache, s.tokens, s.last_hidden, s.done, s.rng
+        pending = None
+        for i in range(W):  # static unroll: pending grows 0 -> W entries
+            logits = ops.logits_from_hidden(params, cfg, hidden)
+            step_rng, rng = jax.random.split(rng)
+            next_tok = _sample_token(
+                logits, greedy=greedy, top_p=top_p, temperature=temperature,
+                rng=step_rng,
+            )
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, next_tok[:, None], (0, s.t + i)
+            )
+            done = jnp.logical_or(done, next_tok == stop_token_id)
+            tok_embed = embed_table[next_tok].astype(dtype)  # (B, D)
+            hidden, cache, pending = step(tok_embed, cache, pending)
+        cache = ops.flush_pending(cfg, cache, pending)
+        return State(cache, tokens, hidden, s.t + W, done, rng)
 
     init = State(
         cache=cache,
-        pending=pending0,
-        tokens=jnp.zeros((B, max_len), jnp.int32),
+        tokens=jnp.zeros((B, ML), jnp.int32),
         last_hidden=hidden,
         t=jnp.zeros((), jnp.int32),
         done=jnp.zeros((B,), bool) if initial_done is None else initial_done,
         rng=rng,
     )
     final = jax.lax.while_loop(cond, body, init)
-    return GenerateResult(tokens=final.tokens, num_steps=final.t)
+    return GenerateResult(
+        tokens=final.tokens[:, :max_len],
+        num_steps=jnp.minimum(final.t, max_len),
+    )
 
 
 def tokens_to_lists(result: GenerateResult, stop_token_id: int):

@@ -150,29 +150,46 @@ def prefill(params, cfg: GPT2Config, inputs_embeds, cache: GPT2Cache):
     return x[:, -1, :], GPT2Cache(new_k, new_v, jnp.asarray(S, jnp.int32))
 
 
+def flush_pending(cfg: GPT2Config, cache: GPT2Cache, pending) -> GPT2Cache:
+    """Scatter pending — a tuple of n single-position (k, v) entries, each
+    (L, B, 1, D), positions cache.length .. cache.length+n-1 — in one
+    dynamic_update_slice per buffer (same flush-batching design as
+    llama.flush_pending; the stack is concatenated only here)."""
+    if len(pending) == 1:
+        pk, pv = pending[0]
+    else:
+        pk = jnp.concatenate([e[0] for e in pending], axis=2)
+        pv = jnp.concatenate([e[1] for e in pending], axis=2)
+    start = cache.length
+    return GPT2Cache(
+        jax.lax.dynamic_update_slice(cache.k, pk.astype(cache.k.dtype), (0, 0, start, 0)),
+        jax.lax.dynamic_update_slice(cache.v, pv.astype(cache.v.dtype), (0, 0, start, 0)),
+        start + pk.shape[2],
+    )
+
+
 def decode_step(params, cfg: GPT2Config, token_embed, cache: GPT2Cache,
-                pending: Optional[Tuple[jax.Array, jax.Array]] = None):
-    """One incremental step; same deferred-cache-write design as
-    llama.decode_step (see its docstring for the aliasing rationale)."""
+                pending: tuple = ()):
+    """One incremental step; NEVER writes the cache — pending is a tuple of
+    single-position (k, v) entries (trailing un-flushed positions), attended
+    explicitly; the caller flushes a window at a time (same design as
+    llama.decode_step)."""
+    pending = tuple(pending) if pending else ()
     B, D = token_embed.shape
     H, hd = cfg.num_heads, cfg.head_dim
     S_max = cache.k.shape[2]
-    pos = cache.length
-
-    if pending is not None:
-        pk, pv = pending
-        cache = GPT2Cache(
-            jax.lax.dynamic_update_slice(cache.k, pk, (0, 0, pos - 1, 0)),
-            jax.lax.dynamic_update_slice(cache.v, pv, (0, 0, pos - 1, 0)),
-            pos,
-        )
+    flushed = cache.length
+    n_pend = len(pending)
+    pos = flushed + n_pend
 
     x = token_embed[:, None, :] + params["wpe"][pos][None, None].astype(token_embed.dtype)
-    mask = jnp.where(jnp.arange(S_max)[None, :] < pos, 0.0, -jnp.inf).astype(jnp.float32)
+    mask = jnp.where(jnp.arange(S_max)[None, :] < flushed, 0.0, -jnp.inf).astype(jnp.float32)
 
     def body(carry, scanned):
         x, = carry
-        lp, k_cache, v_cache = scanned
+        lp, k_cache, v_cache = scanned[:3]
+        pend = scanned[3:]  # flattened (k0, v0, ...) per-layer (B, 1, D)
+        pend_entries = [(pend[2 * i], pend[2 * i + 1]) for i in range(n_pend)]
         h = _ln(x, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_eps)
         qkv = h @ lp["w_qkv"] + lp["b_qkv"]
         q, k_cur, v_cur = jnp.split(qkv, 3, axis=-1)  # (B, 1, D) each
@@ -184,22 +201,37 @@ def decode_step(params, cfg: GPT2Config, token_embed, cache: GPT2Cache,
                    + mask).astype(jnp.float32)
         s_cur = (jnp.einsum("bhd,bhd->bh", qh, k_cur.reshape(B, H, hd))
                  * scale).astype(jnp.float32)[..., None]
+        s_pends = [
+            (jnp.einsum("bhd,bhd->bh", qh, pk.reshape(B, H, hd).astype(q.dtype))
+             * scale).astype(jnp.float32)[..., None]
+            for pk, _ in pend_entries
+        ]
         m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True), s_cur)
+        for s_p in s_pends:
+            m = jnp.maximum(m, s_p)
         e_cache = jnp.exp(s_cache - m).astype(x.dtype)
         e_cur = jnp.exp(s_cur - m).astype(x.dtype)
         denom = jnp.sum(e_cache, axis=-1, keepdims=True) + e_cur
         vc = v_cache.reshape(B, S_max, H, hd)
         o = jnp.einsum("bhs,bshd->bhd", e_cache, vc.astype(x.dtype))
-        o = (o + e_cur * v_cur.reshape(B, H, hd)) / denom
+        o = o + e_cur * v_cur.reshape(B, H, hd)
+        for s_p, (_, pv) in zip(s_pends, pend_entries):
+            e_p = jnp.exp(s_p - m).astype(x.dtype)  # (B, H, 1)
+            denom = denom + e_p
+            o = o + e_p * pv.reshape(B, H, hd)
+        o = o / denom
         x = x + o.reshape(B, 1, D) @ lp["w_o"] + lp["b_o"]
 
         h = _ln(x, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_eps)
         x = x + _gelu_new(h @ lp["w_fc"] + lp["b_fc"]) @ lp["w_proj"] + lp["b_proj"]
-        return (x,), (k_cur.astype(cache.k.dtype), v_cur.astype(cache.v.dtype))
+        return (x,), (k_cur.astype(token_embed.dtype), v_cur.astype(token_embed.dtype))
 
-    (x,), (ks, vs) = jax.lax.scan(body, (x,), (params["layers"], cache.k, cache.v))
+    xs = [params["layers"], cache.k, cache.v]
+    for pk, pv in pending:
+        xs += [pk, pv]
+    (x,), (ks, vs) = jax.lax.scan(body, (x,), tuple(xs))
     x = _ln(x, params["lnf_g"], params["lnf_b"], cfg.layer_norm_eps)
-    return x[:, 0, :], GPT2Cache(cache.k, cache.v, pos + 1), (ks, vs)
+    return x[:, 0, :], cache, pending + ((ks, vs),)
 
 
 def logits_from_hidden(params, cfg: GPT2Config, x):

@@ -378,6 +378,39 @@ def prefill(
     return x[:, -1, :], KVCache(new_k, new_v, jnp.asarray(S, jnp.int32))
 
 
+def flush_pending(cfg: LlamaConfig, cache: KVCache, pending) -> KVCache:
+    """Scatter ``pending`` — a tuple of n (k, v) single-position entries,
+    each (L, B, 1, packed), covering positions cache.length ..
+    cache.length+n-1 — into the cache in ONE dynamic_update_slice per
+    buffer. The per-(l, b) row scatter is RMW-tile bound, so writing n rows
+    costs ~the same as writing one (profiled 62 us either way at B=64):
+    batching n steps' writes into one flush divides the flush cost by n.
+    The stack is concatenated HERE, once per window — concatenating inside
+    the decode loop was measured to eat the savings (re-materializes the
+    growing stack every sub-step). Quantizes on the way in for int8."""
+    if len(pending) == 1:
+        pk, pv = pending[0]
+    else:
+        pk = jnp.concatenate([e[0] for e in pending], axis=2)
+        pv = jnp.concatenate([e[1] for e in pending], axis=2)
+    start = cache.length
+    if cache.quantized:
+        pk8, pksc = quantize_kv(pk)
+        pv8, pvsc = quantize_kv(pv)
+        return KVCache(
+            jax.lax.dynamic_update_slice(cache.k, pk8, (0, 0, start, 0)),
+            jax.lax.dynamic_update_slice(cache.v, pv8, (0, 0, start, 0)),
+            start + pk.shape[2],
+            jax.lax.dynamic_update_slice(cache.k_scale, pksc, (0, 0, start)),
+            jax.lax.dynamic_update_slice(cache.v_scale, pvsc, (0, 0, start)),
+        )
+    return KVCache(
+        jax.lax.dynamic_update_slice(cache.k, pk.astype(cache.k.dtype), (0, 0, start, 0)),
+        jax.lax.dynamic_update_slice(cache.v, pv.astype(cache.v.dtype), (0, 0, start, 0)),
+        start + pk.shape[2],
+    )
+
+
 def decode_step(
     params,
     cfg: LlamaConfig,
@@ -385,52 +418,42 @@ def decode_step(
     cache: KVCache,
     cos_full: jax.Array,  # (S_max, hd) precomputed rope tables
     sin_full: jax.Array,
-    pending: Optional[Tuple[jax.Array, jax.Array]] = None,
-) -> Tuple[jax.Array, KVCache, Tuple[jax.Array, jax.Array]]:
-    """One incremental decode step.
+    pending: tuple = (),
+) -> Tuple[jax.Array, KVCache, tuple]:
+    """One incremental decode step. NEVER writes the cache.
 
-    Cache-aliasing design (the whole point of this structure): XLA copies a
-    loop-carried buffer that is read and THEN scatter-written in the same
-    iteration (~4 ms/step for this cache on v5e-1). So the cache is only
-    ever written at the TOP of a step — ``pending`` carries the previous
-    step's per-layer k/v (tiny, (L, B, KV, 1, hd)) and is flushed
-    write-before-read, which XLA aliases in place. The current token's k/v
-    never enter the cache during its own step; attention handles it as an
-    explicit extra position (two-part flash-style softmax).
+    Cache-aliasing / flush-batching design: XLA copies a loop-carried buffer
+    that is read and THEN scatter-written in the same iteration, and even an
+    aliased in-place scatter costs ~62 us/buffer at B=64 (RMW on partial
+    tiles). So writes are batched: ``cache.length`` counts only FLUSHED
+    positions; ``pending`` is a tuple of n single-position (k, v) entries —
+    each (L, B, 1, packed) bf16, the trailing un-flushed positions — which
+    attention handles as explicit extra positions alongside the current
+    token (multi-part flash-style softmax; one tiny einsum per entry, no
+    stack re-materialization). The caller accumulates pending over a small
+    window of steps and calls ``flush_pending`` once per window —
+    write-before-read at the window top, which XLA aliases in place.
 
-    Returns (last hidden (B, D), cache, new_pending). The final step's
-    pending never needs flushing (nothing reads past the loop).
+    Returns (last hidden (B, D), cache UNCHANGED, pending + 1 new entry).
+    The final window's pending never needs flushing (nothing reads past the
+    loop).
     """
+    pending = tuple(pending) if pending else ()
     B, D = token_embed.shape
     L = cfg.num_layers
     KV, H, hd = cfg.num_kv_heads, cfg.num_heads, cfg.head_dim
     rep = H // KV
     S_max = cache.k.shape[2]
-    pos = cache.length  # scalar int32
+    flushed = cache.length  # scalar int32: flushed positions only
+    n_pend = len(pending)
+    pos = flushed + n_pend  # this token's position
     x = token_embed[:, None, :]  # (B, 1, D)
-
-    if pending is not None:
-        pk, pv = pending  # (L, B, 1, packed) bf16 — one contiguous row per (l, b)
-        if cache.quantized:
-            pk8, pksc = quantize_kv(pk)
-            pv8, pvsc = quantize_kv(pv)
-            cache = KVCache(
-                jax.lax.dynamic_update_slice(cache.k, pk8, (0, 0, pos - 1, 0)),
-                jax.lax.dynamic_update_slice(cache.v, pv8, (0, 0, pos - 1, 0)),
-                pos,
-                jax.lax.dynamic_update_slice(cache.k_scale, pksc, (0, 0, pos - 1)),
-                jax.lax.dynamic_update_slice(cache.v_scale, pvsc, (0, 0, pos - 1)),
-            )
-        else:
-            new_k = jax.lax.dynamic_update_slice(cache.k, pk.astype(cache.k.dtype), (0, 0, pos - 1, 0))
-            new_v = jax.lax.dynamic_update_slice(cache.v, pv.astype(cache.v.dtype), (0, 0, pos - 1, 0))
-            cache = KVCache(new_k, new_v, pos)
 
     cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, 1, axis=0)  # (1, hd)
     sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, 1, axis=0)
 
     kpos = jnp.arange(S_max)
-    mask = jnp.where(kpos[None, :] < pos, 0.0, -jnp.inf).astype(jnp.float32)  # (1, S_max)
+    mask = jnp.where(kpos[None, :] < flushed, 0.0, -jnp.inf).astype(jnp.float32)  # (1, S_max)
     # Block-diagonal expansion: query head h = (g, r) only contracts with KV
     # head g's 64-dim block of the packed 192-dim cache rows. eye-einsum
     # fuses to a masked broadcast — no scatter.
@@ -439,10 +462,14 @@ def decode_step(
     def body(carry, scanned):
         x, = carry
         if cache.quantized:
-            lp, k_cache, v_cache, k_sc, v_sc = scanned
+            lp, k_cache, v_cache, k_sc, v_sc = scanned[:5]
+            pend = scanned[5:]
         else:
-            lp, k_cache, v_cache = scanned
+            lp, k_cache, v_cache = scanned[:3]
+            pend = scanned[3:]
             k_sc = v_sc = None
+        # pend: flattened (k0, v0, k1, v1, ...) per-layer slices (B, 1, packed)
+        pend_entries = [(pend[2 * i], pend[2 * i + 1]) for i in range(n_pend)]
 
         h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q = _mm(h, lp["wq"]).reshape(B, 1, H, hd)
@@ -471,15 +498,28 @@ def decode_step(
         s_cur = (
             jnp.einsum("bqd,bsd->bqs", q_dense, k_cur) * scale
         ).astype(jnp.float32)  # (B, H, 1)
-        # Joint softmax over [cache | current] without materializing the
-        # concatenation (two-part flash-style normalization).
+        # Joint softmax over [cache | pending entries | current] without
+        # materializing any concatenation (multi-part flash-style
+        # normalization). Each pending entry adds one (B, H, 1) score.
+        s_pends = [
+            (
+                jnp.einsum("bqd,bsd->bqs", q_dense, pk.astype(q.dtype)) * scale
+            ).astype(jnp.float32)
+            for pk, _ in pend_entries
+        ]
         m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True), s_cur)
+        for s_p in s_pends:
+            m = jnp.maximum(m, s_p)
         e_cache = jnp.exp(s_cache - m).astype(x.dtype)
         e_cur = jnp.exp(s_cur - m).astype(x.dtype)
         denom = jnp.sum(e_cache, axis=-1, keepdims=True) + e_cur
         e_v = e_cache if v_sc is None else e_cache * v_sc[:, None, :].astype(e_cache.dtype)
         o_dense = jnp.einsum("bqs,bsd->bqd", e_v, v_cache.astype(x.dtype))
         o_dense = o_dense + e_cur * v_cur  # (B, H, packed)
+        for s_p, (_, pv) in zip(s_pends, pend_entries):
+            e_p = jnp.exp(s_p - m).astype(x.dtype)  # (B, H, 1)
+            denom = denom + e_p
+            o_dense = o_dense + e_p * pv.astype(x.dtype)  # bcast (B, 1, packed)
         # Extract each query head's own KV block (the rest are cross-head
         # sums that the block-diagonal q kept meaningful only on-block for
         # scores; for values we must select block g explicitly). Dead pad
@@ -503,17 +543,17 @@ def decode_step(
             v_cur.astype(token_embed.dtype),
         )
 
-    xs = (
-        (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
-        if cache.quantized
-        else (params["layers"], cache.k, cache.v)
-    )
-    (x,), (ks, vs) = jax.lax.scan(body, (x,), xs)
-    # ks, vs: (L, B, 1, packed) — deferred to the NEXT step's flush so the
-    # cache write always precedes every read of the iteration (see docstring).
+    xs = [params["layers"], cache.k, cache.v]
+    if cache.quantized:
+        xs += [cache.k_scale, cache.v_scale]
+    for pk, pv in pending:
+        xs += [pk, pv]
+    (x,), (ks, vs) = jax.lax.scan(body, (x,), tuple(xs))
+    # ks, vs: (L, B, 1, packed) — appended to pending as one more entry; the
+    # caller flushes a whole window at once (flush_pending) so the cache
+    # write always precedes every read of its window (see docstring).
     x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
-    new_cache = KVCache(cache.k, cache.v, pos + 1, cache.k_scale, cache.v_scale)
-    return x[:, 0, :], new_cache, (ks, vs)
+    return x[:, 0, :], cache, pending + ((ks, vs),)
 
 
 def init_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):

@@ -62,6 +62,9 @@ def test_prefill_decode_matches_forward(pair):
             params, SMALL, full[:, P + t], cache, pending
         )
         logits.append(gpt2.logits_from_hidden(params, SMALL, hidden))
+        if t == 0:  # exercise a mid-stream window flush
+            cache = gpt2.flush_pending(SMALL, cache, pending)
+            pending = None
     for i, sl in enumerate(logits):
         np.testing.assert_allclose(
             np.asarray(sl), np.asarray(full_logits[:, P - 1 + i]),

@@ -75,6 +75,9 @@ def test_prefill_plus_decode_matches_full_forward(small_pair):
             params, SMALL, full[:, P + t], cache, cos, sin, pending
         )
         step_logits.append(llama.logits_from_hidden(params, SMALL, hidden))
+        if t == 0:  # exercise a mid-stream window flush
+            cache = llama.flush_pending(SMALL, cache, pending)
+            pending = None
 
     for i, sl in enumerate(step_logits):
         np.testing.assert_allclose(
