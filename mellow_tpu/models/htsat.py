@@ -108,15 +108,39 @@ def window_attention(
     Bn, N, C = x.shape
     hd = C // num_heads
     qkv = x @ p["qkv"]["kernel"] + p["qkv"]["bias"]  # (Bn, N, 3C)
+
+    idx = relative_position_index(window_size)  # (N, N)
+    bias = p["rel_bias_table"][idx.reshape(-1)].reshape(N, N, num_heads)
+    bias_h = jnp.transpose(bias, (2, 0, 1))  # (H, N, N)
+
+    # Fused Pallas path (bf16 perf mode on TPU): keeps everything in the
+    # packed (N, C) layout — the einsum path's (.., heads, 24) tensors pad
+    # every 24-wide lane dim to 128 and materialize 5-D layout copies
+    # (profiled ~2 ms/block at stage 1, B=32). Gated by a per-window VMEM
+    # budget (stage 4's H*N*C blows it; its Bn is tiny anyway).
+    per_w_vmem = num_heads * N * (C * 6 + N * 6)
+    if (
+        x.dtype == jnp.bfloat16
+        and jax.default_backend() in ("tpu", "axon")
+        and per_w_vmem <= (6 << 20)
+    ):
+        from mellow_tpu.ops.pallas_window_attention import window_attention_fused
+
+        out = window_attention_fused(
+            qkv,
+            bias_h.reshape(num_heads * N, N).astype(jnp.float32),
+            mask,
+            num_heads=num_heads,
+            window_size=window_size,
+        )
+        return out @ p["proj"]["kernel"] + p["proj"]["bias"]
+
     qkv = qkv.reshape(Bn, N, 3, num_heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, N, H, hd)
 
     scale = hd ** -0.5
     attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-
-    idx = relative_position_index(window_size)  # (N, N)
-    bias = p["rel_bias_table"][idx.reshape(-1)].reshape(N, N, num_heads)
-    attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+    attn = attn + bias_h[None]
 
     if mask is not None:
         nW = mask.shape[0]
