@@ -39,6 +39,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mellow_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()  # persistent XLA cache: 2-3x faster re-runs
+
     from mellow_tpu.config import get_config
     from mellow_tpu.models import generate as gen
     from mellow_tpu.models import htsat, llama, mellow as mellow_model

@@ -42,13 +42,38 @@ def _sample_token(
     top_p: float,
     temperature: float,
     rng: Optional[jax.Array],
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    prev_tokens: Optional[jax.Array] = None,  # (B, T) emitted so far
+    step: Optional[jax.Array] = None,  # scalar: # valid cols in prev_tokens
 ) -> jax.Array:
-    """Greedy parity path or real nucleus sampling (new feature)."""
+    """Greedy parity path, or real nucleus sampling (new feature) with the
+    standard serving knobs: ``top_k`` (0 = off), ``repetition_penalty``
+    (>1.0 divides positive / multiplies negative logits of already-emitted
+    tokens, the CTRL/HF convention)."""
+    if repetition_penalty != 1.0 and prev_tokens is not None:
+        B, V = logits.shape
+        cols = jnp.arange(prev_tokens.shape[1])[None, :]
+        valid = cols < step  # (1, T)
+        seen = jnp.zeros((B, V), bool).at[
+            jnp.arange(B)[:, None], prev_tokens
+        ].max(valid)
+        pen = jnp.where(
+            logits > 0, logits / repetition_penalty, logits * repetition_penalty
+        )
+        logits = jnp.where(seen, pen, logits)
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     logits = logits / jnp.maximum(temperature, 1e-6)
     sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    if top_k:
+        kth = sorted_logits[:, min(top_k, logits.shape[-1]) - 1][:, None]
+        logits = jnp.where(logits >= kth, logits, -jnp.inf)
+        sorted_logits = jnp.where(
+            jnp.arange(sorted_logits.shape[-1])[None, :] < top_k,
+            sorted_logits, -jnp.inf,
+        )
     cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
     # Keep tokens whose cumulative prob (exclusive) < top_p; always keep top-1.
     cutoff_mask = cum - jax.nn.softmax(sorted_logits, axis=-1) < top_p
@@ -65,7 +90,7 @@ def _sample_token(
     jax.jit,
     static_argnames=(
         "cfg", "max_len", "stop_token_id", "greedy", "cache_dtype", "family",
-        "flush_window",
+        "flush_window", "top_k", "repetition_penalty",
     ),
 )
 def generate(
@@ -83,6 +108,8 @@ def generate(
     initial_done: Optional[jax.Array] = None,  # (B,) bool: padding rows
     family: str = "llama",
     flush_window: int = 8,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
 ) -> GenerateResult:
     """``flush_window`` (W): decode steps per KV-cache flush. The per-step
     cache scatter is RMW-tile bound — writing W rows costs the same as one
@@ -99,6 +126,11 @@ def generate(
 
     ops = get_decoder_ops(family)
     B, P, D = prefix_embeds.shape
+    if not greedy:
+        # Each unrolled sub-step inlines a full top-p sort over the vocab;
+        # cap the window so the compiled program stays small (the flush
+        # batching matters for bulk greedy decode, not sampling).
+        flush_window = min(flush_window, 2)
     W = max(1, min(flush_window, max_len))
     ML = -(-max_len // W) * W  # token buffer rounded up to whole windows
     S_max = P + ML
@@ -147,7 +179,9 @@ def generate(
             step_rng, rng = jax.random.split(rng)
             next_tok = _sample_token(
                 logits, greedy=greedy, top_p=top_p, temperature=temperature,
-                rng=step_rng,
+                rng=step_rng, top_k=top_k,
+                repetition_penalty=repetition_penalty,
+                prev_tokens=tokens, step=s.t + i,
             )
             tokens = jax.lax.dynamic_update_slice(
                 tokens, next_tok[:, None], (0, s.t + i)

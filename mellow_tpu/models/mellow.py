@@ -59,7 +59,10 @@ def encode_and_prefix(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_len", "greedy", "cache_dtype", "stop_token_id"),
+    static_argnames=(
+        "cfg", "max_len", "greedy", "cache_dtype", "stop_token_id",
+        "top_k", "repetition_penalty",
+    ),
 )
 def generate_tokens(
     params,
@@ -76,6 +79,8 @@ def generate_tokens(
     cache_dtype: str = "float32",
     initial_done: Optional[jax.Array] = None,
     stop_token_id: Optional[int] = None,  # default: cfg.stop_token_id
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
 ) -> gen.GenerateResult:
     """End-to-end: two waveforms + prompt ids -> generated token ids.
     One compiled program: encoder x2, prefix assembly, prefill, decode loop."""
@@ -95,6 +100,8 @@ def generate_tokens(
         cache_dtype=cache_dtype,
         initial_done=initial_done,
         family=cfg.decoder_family,
+        top_k=top_k,
+        repetition_penalty=repetition_penalty,
     )
 
 

@@ -143,3 +143,50 @@ class ReasonAQALoader:
             if len(rows) < B and self.drop_remainder:
                 break
             yield self._make_batch(rows)
+
+
+class PrefetchLoader:
+    """Background-thread prefetch around any batch iterator factory.
+
+    Host-side decode/resample/tokenize is serial with the TPU step unless
+    overlapped; this runs the producer in a daemon thread with a bounded
+    queue (native decode and numpy release the GIL, so the overlap is real
+    even on one core). The reference has no training pipeline at all; this
+    is the TPU-idiomatic equivalent of a DataLoader with workers.
+
+        loader = PrefetchLoader(ReasonAQALoader(...), depth=2)
+        for batch in loader.epoch(0): ...
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __getattr__(self, name):  # delegate cfg/batch_size/... to the base
+        return getattr(self.loader, name)
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def produce():
+            try:
+                for batch in self.loader.epoch(epoch_idx):
+                    q.put(batch)
+                q.put(_END)
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()

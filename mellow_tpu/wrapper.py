@@ -74,6 +74,9 @@ class MellowWrapper:
                 f"The model {model} is not supported. The supported versions "
                 f"are {str(self.model_name.keys())}"
             )
+        from mellow_tpu.utils.compile_cache import enable as _enable_cache
+
+        _enable_cache()  # persistent XLA cache (MELLOW_TPU_COMPILE_CACHE=off to skip)
         self.cfg: MellowConfig = get_config(config)
         if compute_dtype:
             self.cfg = self.cfg.replace(compute_dtype=compute_dtype)
@@ -259,6 +262,8 @@ class MellowWrapper:
         seed: int = 0,
         crop_start: Optional[int] = None,
         kv_cache_dtype: Optional[str] = None,  # e.g. "int8" (perf option)
+        top_k: int = 0,  # sampling-mode extra (0 = off)
+        repetition_penalty: float = 1.0,  # HF/CTRL convention; 1.0 = off
     ) -> List[str]:
         """Produce text for [audio1, audio2, prompt] examples
         (signature: reference wrapper.py:258)."""
@@ -284,7 +289,8 @@ class MellowWrapper:
             result, n_real = self._generate_device(
                 audio1, audio2, text_ids, max_len, top_p, temperature,
                 sample=sample, seed=seed, kv_cache_dtype=kv_cache_dtype,
-                stop_token_id=stop_token_id,
+                stop_token_id=stop_token_id, top_k=top_k,
+                repetition_penalty=repetition_penalty,
             )
             texts = self._detokenize(result, n_real, stop_token)
         metrics.count("tokens", n_real * int(result.num_steps))
@@ -295,6 +301,7 @@ class MellowWrapper:
     def _generate_device(
         self, audio1, audio2, text_ids, max_len, top_p, temperature,
         *, sample=False, seed=0, kv_cache_dtype=None, stop_token_id=None,
+        top_k=0, repetition_penalty=1.0,
     ):
         B = audio1.shape[0]
         Bp = _next_pow2(B)  # bucket to bound recompiles
@@ -345,6 +352,8 @@ class MellowWrapper:
                 cache_dtype=kv_cache_dtype or str(dtype),
                 initial_done=initial_done,
                 stop_token_id=stop_token_id,
+                top_k=top_k,
+                repetition_penalty=repetition_penalty,
             )
         return result, B
 

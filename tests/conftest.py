@@ -5,6 +5,10 @@ first ``import jax`` anywhere in the test process."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Hermetic tests: no persistent XLA compile cache. (Also: serializing some
+# CPU executables for the disk cache segfaulted in a long full-suite
+# process — jax compilation_cache.put_executable_and_time.)
+os.environ["MELLOW_TPU_COMPILE_CACHE"] = "off"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

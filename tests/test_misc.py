@@ -90,3 +90,80 @@ def test_gpt2_mellow_end_to_end():
     preds = w.generate([[REF_WAV1, REF_WAV1, "caption"]], max_len=4,
                        top_p=0.8, temperature=1.0)
     assert len(preds) == 1 and isinstance(preds[0], str)
+
+
+def test_flush_window_invariance():
+    """Token streams are identical for any flush_window in float-cache
+    modes (the windowed KV flush is a pure scheduling change; see
+    llama.decode_step docstring)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mellow_tpu.config import LlamaConfig
+    from mellow_tpu.models import generate as gen, llama
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    prefix = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 32)) * 0.3
+    outs = {}
+    for W in (1, 3, 8, 16):
+        r = gen.generate(
+            params, cfg, prefix, max_len=11, stop_token_id=-1,
+            greedy=True, flush_window=W,
+        )
+        outs[W] = np.asarray(r.tokens)
+        assert int(r.num_steps) == 11
+    for W in (3, 8, 16):
+        np.testing.assert_array_equal(outs[1], outs[W])
+
+
+def test_sampling_extras_top_k_and_repetition_penalty():
+    """top_k restricts to the k best logits; repetition_penalty discourages
+    already-emitted tokens (HF/CTRL convention). Both additive, off by
+    default (parity unaffected)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mellow_tpu.config import LlamaConfig
+    from mellow_tpu.models import generate as gen, llama
+
+    cfg = LlamaConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    prefix = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 32)) * 0.3
+
+    # top_k=1 sampling must equal greedy regardless of temperature/seed.
+    r_greedy = gen.generate(
+        params, cfg, prefix, max_len=8, stop_token_id=-1, greedy=True
+    )
+    r_k1 = gen.generate(
+        params, cfg, prefix, max_len=8, stop_token_id=-1, greedy=False,
+        top_p=1.0, temperature=5.0, top_k=1, rng=jax.random.PRNGKey(7),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_greedy.tokens), np.asarray(r_k1.tokens)
+    )
+
+    # A strong repetition penalty must reduce immediate repeats vs none.
+    def repeats(result):
+        t = np.asarray(result.tokens)
+        return int((t[:, 1:] == t[:, :-1]).sum())
+
+    r_plain = gen.generate(
+        params, cfg, prefix, max_len=24, stop_token_id=-1, greedy=True,
+    )
+    r_pen = gen.generate(
+        params, cfg, prefix, max_len=24, stop_token_id=-1, greedy=True,
+        repetition_penalty=1000.0,
+    )
+    assert repeats(r_pen) <= repeats(r_plain)
+    # with an extreme penalty, no token may appear twice in a row
+    t = np.asarray(r_pen.tokens)
+    assert not (t[:, 1:] == t[:, :-1]).any()

@@ -195,3 +195,50 @@ def test_remat_train_step_matches_plain(tiny_dataset):
     np.testing.assert_allclose(
         float(m_plain["loss"]), float(m_remat["loss"]), rtol=1e-6
     )
+
+
+def test_prefetch_loader_delegates_and_orders():
+    from mellow_tpu.train.data import PrefetchLoader
+
+    class Fake:
+        batch_size = 4
+
+        def epoch(self, i):
+            for k in range(7):
+                yield {"x": k, "epoch": i}
+
+    pl = PrefetchLoader(Fake(), depth=2)
+    assert pl.batch_size == 4
+    assert [b["x"] for b in pl.epoch(3)] == list(range(7))
+    assert next(iter(pl.epoch(3)))["epoch"] == 3
+
+
+def test_prefetch_loader_propagates_errors():
+    import pytest
+
+    from mellow_tpu.train.data import PrefetchLoader
+
+    class Boom:
+        def epoch(self, i):
+            yield {"x": 0}
+            raise ValueError("producer failed")
+
+    it = PrefetchLoader(Boom()).epoch(0)
+    assert next(it)["x"] == 0
+    with pytest.raises(ValueError, match="producer failed"):
+        next(it)
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    import jax
+
+    from mellow_tpu.utils import compile_cache
+
+    monkeypatch.setattr(compile_cache, "_enabled", False)
+    monkeypatch.setenv("MELLOW_TPU_COMPILE_CACHE", str(tmp_path / "xla"))
+    assert compile_cache.enable() == str(tmp_path / "xla")
+    assert (tmp_path / "xla").is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+    monkeypatch.setattr(compile_cache, "_enabled", False)
+    monkeypatch.setenv("MELLOW_TPU_COMPILE_CACHE", "off")
+    assert compile_cache.enable() is None
