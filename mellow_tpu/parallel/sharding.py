@@ -61,6 +61,9 @@ def _decoder_specs(tp: int, heads_divisible: bool) -> dict:
             "w_down": P(None, "model", None),
         },
         "norm_f": P(None),
+        # int8-weight mode (llama.quantize_decoder): vocab-sharded logits head
+        "lm_head": P(None, "model"),
+        "lm_head_q": P(None, "model"),
     }
 
 
@@ -81,6 +84,14 @@ def mellow_param_specs(params: dict, mesh: Mesh, num_heads_kv: int = 3) -> dict:
             for k in keys[1:]:
                 if isinstance(node, dict) and k in node:
                     node = node[k]
+                elif isinstance(node, P) and k == "q":
+                    # int8-quantized kernel {"q", "scale"}: values shard like
+                    # the float kernel.
+                    return node
+                elif isinstance(node, P) and k == "scale":
+                    # per-out-channel scale: kernel spec minus the
+                    # contraction (second-to-last) axis.
+                    return P(*(tuple(node)[:-2] + tuple(node)[-1:])) if len(node) >= 2 else P()
                 else:
                     return P()
             return node if isinstance(node, P) else P()

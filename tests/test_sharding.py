@@ -112,3 +112,30 @@ def test_sharded_train_step_matches_unsharded_loss():
     np.testing.assert_allclose(
         float(m_plain["loss"]), float(m_shard["loss"]), rtol=1e-5
     )
+
+
+def test_quantized_decoder_tp_specs():
+    """int8-quantized decoder kernels must shard like their float
+    counterparts under TP (values on the kernel's spec, per-out-channel
+    scales on the kernel spec minus the contraction axis), and the
+    quantized logits head must be vocab-sharded."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from mellow_tpu.config import get_config
+    from mellow_tpu.models import llama, mellow as mellow_model
+    from mellow_tpu.parallel.sharding import make_mesh, mellow_param_specs
+
+    cfg = get_config("v0")
+    params = mellow_model.init_params(jax.random.PRNGKey(0), cfg)
+    params = {**params, "decoder": llama.quantize_decoder(params["decoder"], cfg.decoder)}
+    mesh = make_mesh(6, tp=3)  # heads divisible: attention sharded too
+    specs = mellow_param_specs(params, mesh)
+    dec = specs["decoder"]
+    assert dec["layers"]["w_gate"]["q"] == P(None, None, "model")
+    assert dec["layers"]["w_gate"]["scale"] == P(None, "model")
+    assert dec["layers"]["wq"]["q"] == P(None, None, "model")
+    assert dec["layers"]["wo"]["q"] == P(None, "model", None)
+    assert dec["layers"]["wo"]["scale"] == P(None, None)
+    assert dec["lm_head_q"]["q"] == P(None, "model")
+    assert dec["lm_head_q"]["scale"] == P("model")
