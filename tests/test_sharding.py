@@ -139,3 +139,15 @@ def test_quantized_decoder_tp_specs():
     assert dec["layers"]["wo"]["scale"] == P(None, None)
     assert dec["lm_head_q"]["q"] == P(None, "model")
     assert dec["lm_head_q"]["scale"] == P("model")
+
+
+def test_multihost_single_process():
+    """On a single process initialize() is a no-op join that still reports
+    a consistent topology; is_primary is True."""
+    from mellow_tpu.parallel import multihost
+
+    info = multihost.initialize()
+    assert info["process_index"] == 0
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 1
+    assert multihost.is_primary()
