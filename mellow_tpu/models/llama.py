@@ -338,10 +338,13 @@ def prefill(
     # GQA kernel (ops/pallas_attention.py) IS faster (1.70 vs 3.01 ms/layer)
     # and serves the bf16 perf mode on TPU; fp32 parity mode and CPU keep
     # the einsum.
+    import os
+
     use_fused = (
         inputs_embeds.dtype == jnp.bfloat16
         and jax.default_backend() in ("tpu", "axon")
         and S <= 1024  # whole-sequence-in-VMEM design bound
+        and not os.environ.get("MELLOW_TPU_DISABLE_FUSED_ATTN")
     )
     causal = jnp.tril(jnp.ones((S, S), bool))
     mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
