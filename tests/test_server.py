@@ -1,0 +1,91 @@
+"""HTTP serving front: real requests through ThreadingHTTPServer +
+BatchingEngine + the wrapper (tiny model), including inline base64 audio
+and error paths."""
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import pytest
+
+from mellow_tpu.io.tokenizer import ByteTokenizer
+from mellow_tpu.models import mellow as jmellow
+from mellow_tpu.server import MellowServer
+from mellow_tpu.wrapper import MellowWrapper
+from tests.test_wrapper import SMALL
+
+REF_WAV1 = "/root/reference/resource/1.wav"
+REF_WAV2 = "/root/reference/resource/2.wav"
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    params = jmellow.init_params(jax.random.PRNGKey(0), SMALL)
+    wrapper = MellowWrapper(
+        "test_small", "v0", 0, params=params, tokenizer=ByteTokenizer()
+    )
+    srv = MellowServer(wrapper, max_batch_size=4, max_wait_ms=20)
+    httpd = srv.make_http_server("127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", wrapper
+    httpd.shutdown()
+    srv.shutdown()
+
+
+def _post(url, body, timeout=600):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz_and_metrics(server_url):
+    url, _ = server_url
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+        assert isinstance(json.loads(r.read()), dict)
+
+
+def test_generate_matches_direct(server_url):
+    url, wrapper = server_url
+    status, out = _post(
+        url + "/generate",
+        {"audio1": REF_WAV1, "audio2": REF_WAV2, "prompt": "hello",
+         "max_len": 4},
+    )
+    assert status == 200
+    direct = wrapper.generate(
+        [[REF_WAV1, REF_WAV2, "hello"]], max_len=4, top_p=0.8, temperature=1.0
+    )[0]
+    assert out["text"] == direct
+
+
+def test_generate_inline_base64_audio(server_url):
+    url, _ = server_url
+    wav = base64.b64encode(open(REF_WAV1, "rb").read()).decode()
+    status, out = _post(
+        url + "/generate",
+        {"audio1_b64": wav, "audio2": REF_WAV1, "prompt": "x", "max_len": 3},
+    )
+    assert status == 200 and isinstance(out["text"], str)
+
+
+def test_error_paths(server_url):
+    url, _ = server_url
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/generate", {"prompt": "no audio"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/generate", {"audio1": "/nope.wav", "audio2": REF_WAV1,
+                                  "prompt": "x"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/nope", {})
+    assert e.value.code == 404
