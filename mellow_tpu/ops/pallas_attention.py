@@ -42,14 +42,19 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30  # large-negative instead of -inf: keeps pad rows finite
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, H, KV, hd, scale, SP):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, H, KV, hd, scale, SP, S_real):
     rep = H // KV
     rows = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 1)
     causal = rows >= cols
+    if SP > S_real:  # zero V's OOB rows (see flash_gqa_prefill docstring)
+        vrows = jax.lax.broadcasted_iota(jnp.int32, (SP, hd), 0)
+        v_valid = vrows < S_real
     for g in range(KV):
         k_g = k_ref[0, :, g * hd : (g + 1) * hd]  # (SP, hd)
         v_g = v_ref[0, :, g * hd : (g + 1) * hd]
+        if SP > S_real:
+            v_g = jnp.where(v_valid, v_g, jnp.zeros_like(v_g))
         for r in range(rep):
             h = g * rep + r
             q_h = q_ref[0, :, h * hd : (h + 1) * hd]  # (SP, hd)
@@ -68,7 +73,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, H, KV, hd, scale, SP):
             o_ref[0, :, h * hd : (h + 1) * hd] = (o / denom).astype(o_ref.dtype)
 
 
-def _kernel_tri(q_ref, k_ref, v_ref, o_ref, *, H, KV, hd, scale, SP):
+def _kernel_tri(q_ref, k_ref, v_ref, o_ref, *, H, KV, hd, scale, SP, S_real):
     """Triangle-skipping variant: queries processed in 128-row blocks; block
     qi only computes scores against the (qi+1)*128 causally-visible columns.
     Measured SLOWER than the whole-square kernel at SP=512 (1.84 vs 1.70
@@ -81,9 +86,14 @@ def _kernel_tri(q_ref, k_ref, v_ref, o_ref, *, H, KV, hd, scale, SP):
     rows = jax.lax.broadcasted_iota(jnp.int32, (QB, QB), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (QB, QB), 1)
     tri = rows >= cols  # causal mask for the diagonal block
+    if SP > S_real:  # zero V's OOB rows (see flash_gqa_prefill docstring)
+        vrows = jax.lax.broadcasted_iota(jnp.int32, (SP, hd), 0)
+        v_valid = vrows < S_real
     for g in range(KV):
         k_g = k_ref[0, :, g * hd : (g + 1) * hd]  # (SP, hd)
         v_g = v_ref[0, :, g * hd : (g + 1) * hd]
+        if SP > S_real:
+            v_g = jnp.where(v_valid, v_g, jnp.zeros_like(v_g))
         for r in range(rep):
             h = g * rep + r
             for qi in range(nq):
@@ -126,23 +136,24 @@ def flash_gqa_prefill(
     variant: str = "square",  # measured fastest at SP=512 (vs "tri")
 ) -> jax.Array:
     """Causal GQA attention, returns (B, S, H*hd). Pure function of the
-    packed projections; pads S internally to a 128 multiple (pad rows are
-    computed-but-garbage and sliced away; causality keeps them out of every
-    real row's receptive field)."""
+    packed projections. No host-side padding: Pallas partial blocks cover
+    S not divisible by 128 (the explicit q pad + output slice cost
+    ~0.9 ms/layer at B=256). Out-of-bounds garbage is provably inert:
+    garbage SCORE entries (from OOB q rows or k rows) sit at masked or
+    discarded positions — `jnp.where(causal, s, _NEG)` replaces every
+    column > row, and real rows only have real columns in their causal
+    range — while V's OOB rows are zeroed IN-KERNEL (their softmax weights
+    are exact zeros, but 0 * garbage-NaN would still poison the value
+    dot). OOB output rows are dropped by the masked partial-block write."""
     B, S, _ = q.shape
     H, KV, hd = num_heads, num_kv_heads, head_dim
     SP = -(-S // 128) * 128
-    pad = SP - S
-    if pad:
-        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
     scale = 1.0 / np.sqrt(hd)
 
     kern = {"tri": _kernel_tri, "square": _kernel}[variant]
     out = pl.pallas_call(
         functools.partial(
-            kern, H=H, KV=KV, hd=hd, scale=np.float32(scale), SP=SP
+            kern, H=H, KV=KV, hd=hd, scale=np.float32(scale), SP=SP, S_real=S
         ),
         grid=(B,),
         in_specs=[
@@ -153,7 +164,7 @@ def flash_gqa_prefill(
         out_specs=pl.BlockSpec(
             (1, SP, H * hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, SP, H * hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, S, H * hd), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * H * SP * SP * hd,
@@ -162,7 +173,7 @@ def flash_gqa_prefill(
             transcendentals=B * H * SP * SP,
         ),
     )(q, k, v)
-    return out[:, :S, :]
+    return out
 
 
 def reference_gqa_prefill(q, k, v, *, num_heads, num_kv_heads, head_dim):
