@@ -41,7 +41,13 @@ def initialize(
             process_id=process_id,
         )
     except RuntimeError as e:
-        if "already initialized" not in str(e).lower():
+        msg = str(e).lower()
+        benign = "already initialized" in msg or (
+            # backend already up in this process and no coordinator was
+            # requested: we are (and stay) single-process — nothing to join.
+            coordinator_address is None and "before any jax calls" in msg
+        )
+        if not benign:
             raise
     except ValueError:
         # No coordinator given and none discoverable from the environment
