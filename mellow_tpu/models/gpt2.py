@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mellow_tpu.models.llama import _mm
+
 
 @dataclass(frozen=True)
 class GPT2Config:
@@ -59,6 +61,24 @@ class GPT2Cache(NamedTuple):
                          jnp.zeros((), jnp.int32))
 
 
+def quantize_gpt2(params: dict, cfg: GPT2Config) -> dict:
+    """int8-weight inference mode for the gpt2 family (mirrors
+    llama.quantize_decoder): every per-layer matmul kernel gets symmetric
+    per-out-channel int8 values + fp32 scales (biases stay float; the wte
+    GATHER keeps the float table), and the logits matmul — which streams
+    all V*D weights every decode step — gets a quantized copy under
+    ``wte_head_q`` that ``logits_from_hidden`` prefers when present."""
+    from mellow_tpu.models.llama import quantize_weight
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in ("w_qkv", "w_o", "w_fc", "w_proj"):
+        layers[k] = quantize_weight(layers[k])
+    out["layers"] = layers
+    out["wte_head_q"] = quantize_weight(params["wte"].T)
+    return out
+
+
 def _ln(x, g, b, eps):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
@@ -83,7 +103,7 @@ def _layer_full(cfg, x, lp, mask, use_fused=False):
     B, S, D = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
     h = _ln(x, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_eps)
-    qkv = h @ lp["w_qkv"] + lp["b_qkv"]
+    qkv = _mm(h, lp["w_qkv"]) + lp["b_qkv"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     if use_fused:
         # Whole-sequence-in-VMEM Pallas attention (pure causal, bf16 perf
@@ -99,9 +119,9 @@ def _layer_full(cfg, x, lp, mask, use_fused=False):
             cfg, q.reshape(B, S, H, hd), k.reshape(B, S, H, hd),
             v.reshape(B, S, H, hd), mask,
         ).reshape(B, S, D)
-    x = x + o @ lp["w_o"] + lp["b_o"]
+    x = x + _mm(o, lp["w_o"]) + lp["b_o"]
     h = _ln(x, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_eps)
-    x = x + _gelu_new(h @ lp["w_fc"] + lp["b_fc"]) @ lp["w_proj"] + lp["b_proj"]
+    x = x + _mm(_gelu_new(_mm(h, lp["w_fc"]) + lp["b_fc"]), lp["w_proj"]) + lp["b_proj"]
     return x, (k, v)
 
 
@@ -191,7 +211,7 @@ def decode_step(params, cfg: GPT2Config, token_embed, cache: GPT2Cache,
         pend = scanned[3:]  # flattened (k0, v0, ...) per-layer (B, 1, D)
         pend_entries = [(pend[2 * i], pend[2 * i + 1]) for i in range(n_pend)]
         h = _ln(x, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_eps)
-        qkv = h @ lp["w_qkv"] + lp["b_qkv"]
+        qkv = _mm(h, lp["w_qkv"]) + lp["b_qkv"]
         q, k_cur, v_cur = jnp.split(qkv, 3, axis=-1)  # (B, 1, D) each
         qh = q.reshape(B, H, hd)
 
@@ -220,10 +240,10 @@ def decode_step(params, cfg: GPT2Config, token_embed, cache: GPT2Cache,
             denom = denom + e_p
             o = o + e_p * pv.reshape(B, H, hd)
         o = o / denom
-        x = x + o.reshape(B, 1, D) @ lp["w_o"] + lp["b_o"]
+        x = x + _mm(o.reshape(B, 1, D), lp["w_o"]) + lp["b_o"]
 
         h = _ln(x, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_eps)
-        x = x + _gelu_new(h @ lp["w_fc"] + lp["b_fc"]) @ lp["w_proj"] + lp["b_proj"]
+        x = x + _mm(_gelu_new(_mm(h, lp["w_fc"]) + lp["b_fc"]), lp["w_proj"]) + lp["b_proj"]
         return (x,), (k_cur.astype(token_embed.dtype), v_cur.astype(token_embed.dtype))
 
     xs = [params["layers"], cache.k, cache.v]
@@ -235,6 +255,8 @@ def decode_step(params, cfg: GPT2Config, token_embed, cache: GPT2Cache,
 
 
 def logits_from_hidden(params, cfg: GPT2Config, x):
+    if "wte_head_q" in params:  # int8-weight perf mode (quantize_gpt2)
+        return _mm(x, params["wte_head_q"])
     return x @ params["wte"].T.astype(x.dtype)
 
 

@@ -98,16 +98,13 @@ class MellowWrapper:
         self.mesh = mesh
         self.params = self._load_params(model, params_path, params)
         if weight_dtype == "int8":
-            from mellow_tpu.models.llama import quantize_decoder
-
-            assert self.cfg.decoder_family == "llama", (
-                "int8 weight quantization is implemented for the llama family"
-            )
+            if self.cfg.decoder_family == "llama":
+                from mellow_tpu.models.llama import quantize_decoder as _q
+            else:
+                from mellow_tpu.models.gpt2 import quantize_gpt2 as _q
             self.params = {
                 **self.params,
-                "decoder": quantize_decoder(
-                    self.params["decoder"], self.cfg.decoder
-                ),
+                "decoder": _q(self.params["decoder"], self.cfg.decoder),
             }
         elif weight_dtype is not None:
             raise ValueError(f"unsupported weight_dtype {weight_dtype!r}")

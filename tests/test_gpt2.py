@@ -101,3 +101,46 @@ def test_gpt2_greedy_generate_parity(pair):
     n = int(res.num_steps)
     assert n == tokens.shape[1]
     np.testing.assert_array_equal(np.asarray(res.tokens)[:, :n], tokens.numpy())
+
+
+def test_quantized_gpt2_matches_dequantized(pair):
+    """int8-weight mode vs a manually-dequantized float model. The kernels
+    match exactly (_mm folds scales after the dot); the deq model's
+    EMBEDDING gather also changes (the quantized model keeps the float
+    wte for gathers), so streams may diverge after step 0 — the first
+    token must match exactly, the rest mostly."""
+    import numpy as np
+
+    from mellow_tpu.models import generate as gen
+
+    _, params = pair
+    qparams = gpt2.quantize_gpt2(params, SMALL)
+
+    # manual dequantization back to plain float kernels
+    deq = dict(params)
+    layers = dict(params["layers"])
+    for k in ("w_qkv", "w_o", "w_fc", "w_proj"):
+        qd = qparams["layers"][k]
+        layers[k] = np.asarray(qd["q"], np.float32) * np.asarray(qd["scale"])[:, None, :]
+    deq["layers"] = layers
+    hq = qparams["wte_head_q"]
+    wte_deq = (np.asarray(hq["q"], np.float32) * np.asarray(hq["scale"])[None, :]).T
+    deq["wte"] = wte_deq  # logits head AND embedding table change together
+
+    rng = np.random.RandomState(3)
+    prefix = jnp.asarray(rng.randn(2, 6, SMALL.hidden_size).astype(np.float32) * 0.1)
+    r_q = gen.generate(
+        qparams, SMALL, prefix, max_len=8, stop_token_id=-1, greedy=True,
+        family="gpt2",
+    )
+    r_d = gen.generate(
+        deq, SMALL, prefix, max_len=8, stop_token_id=-1, greedy=True,
+        family="gpt2",
+    )
+    # the deq model uses the dequantized head via wte.T; the embedding
+    # gather differs (quantized model keeps the FLOAT wte for gathers), so
+    # compare only the first token (same hidden input) exactly, then check
+    # stream agreement loosely.
+    tq, td = np.asarray(r_q.tokens), np.asarray(r_d.tokens)
+    assert (tq[:, 0] == td[:, 0]).all()
+    assert (tq == td).mean() >= 0.75
