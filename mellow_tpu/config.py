@@ -125,6 +125,7 @@ class MellowConfig:
     text_decoder: str = "HuggingFaceTB/SmolLM2-135M"  # v0.yaml:14
     sep_token_id: int = 0  # smollm2 separator (decoder.py:49); gpt2: 50256
     stop_token_id: int = 0  # '<|endoftext|>' for SmolLM2 (wrapper.py:208)
+    pad_token_id: int = 1  # '!' — the reference remaps pad to '!' (wrapper.py:84)
     projection_dropout: float = 0.5  # train only (mellow.py:39)
     # TPU execution knobs (new; the reference has no equivalents)
     compute_dtype: str = "float32"  # "float32" (parity) | "bfloat16" (perf)

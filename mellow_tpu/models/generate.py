@@ -35,6 +35,69 @@ class GenerateResult(NamedTuple):
     num_steps: jax.Array  # scalar int32: steps actually executed
 
 
+def seen_mask(tokens: jax.Array, valid: jax.Array, vocab_size: int) -> jax.Array:
+    """(B, V) bool: True where a row has emitted/contains that token.
+    ``tokens``: (B, T) int ids; ``valid``: broadcastable bool over (B, T)."""
+    B = tokens.shape[0]
+    return jnp.zeros((B, vocab_size), bool).at[
+        jnp.arange(B)[:, None], tokens
+    ].max(jnp.broadcast_to(valid, tokens.shape))
+
+
+def warp_logits(
+    logits: jax.Array,  # (B, V)
+    *,
+    top_p: float = 1.0,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    seen: Optional[jax.Array] = None,  # (B, V) bool: tokens to penalize
+) -> jax.Array:
+    """Filtered-logits transform, exactly the HF logits-processor stack in
+    its default order (RepetitionPenaltyLogitsProcessor -> temperature ->
+    TopKLogitsWarper -> TopPLogitsWarper); removed tokens become -inf.
+    Cross-checked token-exact against the HF implementations in
+    tests/test_sampling.py. The reference's (dead) top-p convention at
+    /root/reference/mellow/wrapper.py:219-232 is the same keep-rule:
+    smallest set of top tokens whose mass reaches top_p, top-1 always kept.
+    """
+    # NOTE: top_p / temperature / repetition_penalty may be TRACED values
+    # (generate() takes them as jit arguments), so Python branches are only
+    # allowed on concretely-Python numbers.
+    def _concrete(x):
+        return isinstance(x, (int, float))
+
+    if seen is not None and not (_concrete(repetition_penalty) and repetition_penalty == 1.0):
+        # CTRL/HF convention: divide positive, multiply negative logits.
+        pen = jnp.where(
+            logits > 0, logits / repetition_penalty, logits * repetition_penalty
+        )
+        logits = jnp.where(seen, pen, logits)
+    # x / 1.0 is a bit-exact identity, so the division applies unconditionally.
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    if top_k:
+        kth = sorted_logits[:, min(top_k, logits.shape[-1]) - 1][:, None]
+        logits = jnp.where(logits >= kth, logits, -jnp.inf)
+        sorted_logits = jnp.where(
+            jnp.arange(sorted_logits.shape[-1])[None, :] < top_k,
+            sorted_logits, -jnp.inf,
+        )
+    if not (_concrete(top_p) and top_p >= 1.0):
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Keep tokens whose exclusive cumulative prob < top_p; always keep
+        # top-1 (HF min_tokens_to_keep=1).
+        cutoff_mask = cum - probs < top_p
+        cutoff_mask = cutoff_mask.at[:, 0].set(True)
+        # Threshold logit: smallest kept logit per row.
+        min_kept = jnp.min(
+            jnp.where(cutoff_mask, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits >= min_kept, logits, -jnp.inf)
+    return logits
+
+
 def _sample_token(
     logits: jax.Array,
     *,
@@ -46,43 +109,34 @@ def _sample_token(
     repetition_penalty: float = 1.0,
     prev_tokens: Optional[jax.Array] = None,  # (B, T) emitted so far
     step: Optional[jax.Array] = None,  # scalar: # valid cols in prev_tokens
+    prompt_seen: Optional[jax.Array] = None,  # (B, V) bool: prompt tokens
 ) -> jax.Array:
     """Greedy parity path, or real nucleus sampling (new feature) with the
     standard serving knobs: ``top_k`` (0 = off), ``repetition_penalty``
-    (>1.0 divides positive / multiplies negative logits of already-emitted
-    tokens, the CTRL/HF convention)."""
-    if repetition_penalty != 1.0 and prev_tokens is not None:
-        B, V = logits.shape
-        cols = jnp.arange(prev_tokens.shape[1])[None, :]
-        valid = cols < step  # (1, T)
-        seen = jnp.zeros((B, V), bool).at[
-            jnp.arange(B)[:, None], prev_tokens
-        ].max(valid)
-        pen = jnp.where(
-            logits > 0, logits / repetition_penalty, logits * repetition_penalty
-        )
-        logits = jnp.where(seen, pen, logits)
+    (>1.0 divides positive / multiplies negative logits of already-seen
+    tokens, the CTRL/HF convention). ``prompt_seen`` seeds the penalty mask
+    with the prompt's token ids (HF penalizes the full input_ids, not just
+    generated tokens); the audio-prefix positions have no token ids and are
+    never penalized."""
+    seen = None
+    if repetition_penalty != 1.0:
+        if prev_tokens is not None:
+            cols = jnp.arange(prev_tokens.shape[1])[None, :]
+            seen = seen_mask(prev_tokens, cols < step, logits.shape[-1])
+        if prompt_seen is not None:
+            seen = prompt_seen if seen is None else jnp.logical_or(seen, prompt_seen)
     if greedy:
+        # Fast path: temperature / top-k / top-p never change the argmax, so
+        # only the penalty (which can) is applied.
+        if seen is not None:
+            logits = warp_logits(
+                logits, repetition_penalty=repetition_penalty, seen=seen
+            )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
-    logits = logits / jnp.maximum(temperature, 1e-6)
-    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-    if top_k:
-        kth = sorted_logits[:, min(top_k, logits.shape[-1]) - 1][:, None]
-        logits = jnp.where(logits >= kth, logits, -jnp.inf)
-        sorted_logits = jnp.where(
-            jnp.arange(sorted_logits.shape[-1])[None, :] < top_k,
-            sorted_logits, -jnp.inf,
-        )
-    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
-    # Keep tokens whose cumulative prob (exclusive) < top_p; always keep top-1.
-    cutoff_mask = cum - jax.nn.softmax(sorted_logits, axis=-1) < top_p
-    cutoff_mask = cutoff_mask.at[:, 0].set(True)
-    # Threshold logit: smallest kept logit per row.
-    min_kept = jnp.min(
-        jnp.where(cutoff_mask, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    filtered = warp_logits(
+        logits, top_p=top_p, temperature=temperature, top_k=top_k,
+        repetition_penalty=repetition_penalty, seen=seen,
     )
-    filtered = jnp.where(logits >= min_kept, logits, -jnp.inf)
     return jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
 
 
@@ -110,6 +164,9 @@ def generate(
     flush_window: int = 8,
     top_k: int = 0,
     repetition_penalty: float = 1.0,
+    prompt_tokens: Optional[jax.Array] = None,  # (B, T) ids seeding the
+    # repetition-penalty mask (HF penalizes prompt + generated tokens)
+    prompt_mask: Optional[jax.Array] = None,  # (B, T) bool: real (non-pad)
 ) -> GenerateResult:
     """``flush_window`` (W): decode steps per KV-cache flush. The per-step
     cache scatter is RMW-tile bound — writing W rows costs the same as one
@@ -171,6 +228,15 @@ def generate(
 
     embed_table = ops.embed_table(params)
 
+    prompt_seen = None
+    if repetition_penalty != 1.0 and prompt_tokens is not None:
+        pm = (
+            jnp.ones(prompt_tokens.shape, bool)
+            if prompt_mask is None
+            else prompt_mask
+        )
+        prompt_seen = seen_mask(prompt_tokens, pm, embed_table.shape[0])
+
     def body(s: State):
         cache, tokens, hidden, done, rng = s.cache, s.tokens, s.last_hidden, s.done, s.rng
         pending = None
@@ -181,7 +247,7 @@ def generate(
                 logits, greedy=greedy, top_p=top_p, temperature=temperature,
                 rng=step_rng, top_k=top_k,
                 repetition_penalty=repetition_penalty,
-                prev_tokens=tokens, step=s.t + i,
+                prev_tokens=tokens, step=s.t + i, prompt_seen=prompt_seen,
             )
             tokens = jax.lax.dynamic_update_slice(
                 tokens, next_tok[:, None], (0, s.t + i)

@@ -102,6 +102,11 @@ def generate_tokens(
         family=cfg.decoder_family,
         top_k=top_k,
         repetition_penalty=repetition_penalty,
+        # HF's RepetitionPenaltyLogitsProcessor covers the full input_ids;
+        # the text prompt ids (the only prefix positions that HAVE ids) seed
+        # the penalty mask, pad ('!') rows excluded.
+        prompt_tokens=text_ids,
+        prompt_mask=text_ids != cfg.pad_token_id,
     )
 
 

@@ -1,0 +1,162 @@
+"""Exact cross-checks of the sampling stack against HuggingFace's logits
+processors (VERDICT r2 item 3).
+
+The reference's decode path carries (dead) top-p code at
+/root/reference/mellow/wrapper.py:219-232 whose keep-rule matches HF's
+``TopPLogitsWarper``; our serving knobs (``top_k``, ``repetition_penalty``,
+``temperature``) follow the HF conventions exactly. transformers is
+installed offline, so the REAL HF implementations serve as oracles:
+``warp_logits`` must reproduce their filtered logits bit-position-exactly
+(-inf in the same slots, identical values elsewhere).
+"""
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+from transformers.generation.logits_process import (
+    RepetitionPenaltyLogitsProcessor,
+    TemperatureLogitsWarper,
+    TopKLogitsWarper,
+    TopPLogitsWarper,
+)
+
+from mellow_tpu.models.generate import seen_mask, warp_logits
+
+
+def hf_warp(logits_np, input_ids, *, top_p=1.0, temperature=1.0, top_k=0,
+            repetition_penalty=1.0):
+    """The HF stack in GenerationMixin's default order: processors
+    (repetition penalty) then warpers (temperature, top-k, top-p)."""
+    scores = torch.from_numpy(logits_np.copy())
+    ids = torch.as_tensor(input_ids, dtype=torch.long)
+    if repetition_penalty != 1.0:
+        scores = RepetitionPenaltyLogitsProcessor(repetition_penalty)(ids, scores)
+    if temperature != 1.0:
+        scores = TemperatureLogitsWarper(temperature)(ids, scores)
+    if top_k:
+        scores = TopKLogitsWarper(top_k)(ids, scores)
+    if top_p < 1.0:
+        scores = TopPLogitsWarper(top_p)(ids, scores)
+    return scores.numpy()
+
+
+def ours(logits_np, seen_np=None, **kw):
+    seen = None if seen_np is None else jnp.asarray(seen_np)
+    out = warp_logits(jnp.asarray(logits_np), seen=seen, **kw)
+    return np.asarray(out)
+
+
+def assert_same_filter(got, want):
+    """Same -inf pattern AND identical finite values."""
+    got_inf, want_inf = np.isneginf(got), np.isneginf(want)
+    np.testing.assert_array_equal(got_inf, want_inf)
+    np.testing.assert_allclose(
+        got[~got_inf], want[~want_inf], rtol=0, atol=0
+    )
+
+
+def rand_logits(seed, B=5, V=257):
+    return np.random.default_rng(seed).normal(0, 3, (B, V)).astype(np.float32)
+
+
+@pytest.mark.parametrize("top_p", [0.8, 0.3, 0.95])
+def test_top_p_exact(top_p):
+    logits = rand_logits(0)
+    want = hf_warp(logits, np.zeros((5, 1), np.int64), top_p=top_p)
+    assert_same_filter(ours(logits, top_p=top_p), want)
+
+
+def test_top_p_one_keeps_everything():
+    logits = rand_logits(1)
+    got = ours(logits, top_p=1.0)
+    assert not np.isneginf(got).any()
+    np.testing.assert_array_equal(got, logits)
+
+
+def test_top_p_nucleus_of_size_one():
+    logits = rand_logits(2, B=3, V=64)
+    logits[:, 7] = 50.0  # one token holds ~all the mass
+    want = hf_warp(logits, np.zeros((3, 1), np.int64), top_p=0.5)
+    got = ours(logits, top_p=0.5)
+    assert_same_filter(got, want)
+    assert (np.isneginf(got).sum(-1) == logits.shape[-1] - 1).all()
+
+
+@pytest.mark.parametrize("top_k", [1, 10, 50, 10_000])
+def test_top_k_exact(top_k):
+    logits = rand_logits(3)
+    want = hf_warp(logits, np.zeros((5, 1), np.int64), top_k=top_k)
+    assert_same_filter(ours(logits, top_k=top_k), want)
+
+
+@pytest.mark.parametrize("temperature", [0.5, 0.7, 2.0])
+def test_temperature_then_top_p(temperature):
+    logits = rand_logits(4)
+    want = hf_warp(
+        logits, np.zeros((5, 1), np.int64), temperature=temperature, top_p=0.8
+    )
+    got = ours(logits, temperature=temperature, top_p=0.8)
+    assert_same_filter(got, want)
+
+
+@pytest.mark.parametrize("penalty", [1.3, 2.0])
+def test_repetition_penalty_exact(penalty):
+    # Includes negative logits among the penalized ids (HF multiplies those).
+    logits = rand_logits(5, B=4, V=97)
+    ids = np.random.default_rng(6).integers(0, 97, (4, 12))
+    want = hf_warp(logits, ids, repetition_penalty=penalty)
+    seen = np.asarray(seen_mask(jnp.asarray(ids), jnp.ones(ids.shape, bool), 97))
+    got = ours(logits, seen_np=seen, repetition_penalty=penalty)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_stack_combined():
+    logits = rand_logits(7, B=4, V=193)
+    ids = np.random.default_rng(8).integers(0, 193, (4, 9))
+    kw = dict(repetition_penalty=1.4, temperature=0.7, top_k=40, top_p=0.8)
+    want = hf_warp(logits, ids, **kw)
+    seen = np.asarray(seen_mask(jnp.asarray(ids), jnp.ones(ids.shape, bool), 193))
+    got = ours(logits, seen_np=seen, **kw)
+    assert_same_filter(got, want)
+
+
+def test_seen_mask_respects_validity():
+    ids = np.array([[3, 5, 5, 0], [1, 2, 3, 4]])
+    valid = np.array([[True, True, False, False], [True, False, False, False]])
+    m = np.asarray(seen_mask(jnp.asarray(ids), jnp.asarray(valid), 8))
+    assert m[0].tolist() == [False, False, False, True, False, True, False, False]
+    assert m[1].tolist() == [False, True, False, False, False, False, False, False]
+
+
+def test_greedy_matches_hf_argmax_under_penalty():
+    from mellow_tpu.models.generate import _sample_token
+
+    logits = rand_logits(9, B=6, V=129)
+    prev = np.random.default_rng(10).integers(0, 129, (6, 8))
+    want = hf_warp(logits, prev, repetition_penalty=1.8).argmax(-1)
+    got = _sample_token(
+        jnp.asarray(logits), greedy=True, top_p=0.8, temperature=1.0,
+        rng=None, repetition_penalty=1.8,
+        prev_tokens=jnp.asarray(prev), step=jnp.asarray(8),
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_sampled_ids_come_from_hf_kept_set():
+    """Sampling draws only tokens HF's warpers would keep."""
+    import jax
+
+    from mellow_tpu.models.generate import _sample_token
+
+    logits = rand_logits(11, B=8, V=65)
+    want = hf_warp(logits, np.zeros((8, 1), np.int64), top_p=0.6, top_k=20,
+                   temperature=0.7)
+    kept = ~np.isneginf(want)
+    for seed in range(5):
+        tok = np.asarray(_sample_token(
+            jnp.asarray(logits), greedy=False, top_p=0.6, temperature=0.7,
+            top_k=20, rng=jax.random.PRNGKey(seed),
+        ))
+        assert kept[np.arange(8), tok].all()
