@@ -56,6 +56,14 @@ class GPT2Cache(NamedTuple):
 
     @staticmethod
     def create(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.float32):
+        dtype = jnp.dtype(dtype)
+        if not jnp.issubdtype(dtype, jnp.floating):
+            # The gpt2 family has no quantized-cache path (no scale fields);
+            # a raw astype would silently truncate (-1, 1) values to 0.
+            raise ValueError(
+                f"gpt2 KV cache requires a floating dtype, got {dtype}; "
+                "kv_cache_dtype='int8' is a llama-family-only perf mode"
+            )
         shape = (cfg.num_layers, batch, max_len, cfg.hidden_size)
         return GPT2Cache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                          jnp.zeros((), jnp.int32))
@@ -153,10 +161,16 @@ def prefill(params, cfg: GPT2Config, inputs_embeds, cache: GPT2Cache):
     x = inputs_embeds + params["wpe"][pos].astype(inputs_embeds.dtype)
     causal = jnp.tril(jnp.ones((S, S), bool))
     mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
+    # Same trace-time kill switch as llama.prefill (CLAUDE.md's documented
+    # knob; note the env var is read at TRACE time, so flipping it requires
+    # a fresh jit cache entry).
+    import os
+
     use_fused = (
         inputs_embeds.dtype == jnp.bfloat16
         and jax.default_backend() in ("tpu", "axon")
         and S <= 1024
+        and not os.environ.get("MELLOW_TPU_DISABLE_FUSED_ATTN")
     )
 
     def body(x, lp):

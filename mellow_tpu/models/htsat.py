@@ -118,11 +118,16 @@ def window_attention(
     # every 24-wide lane dim to 128 and materialize 5-D layout copies
     # (profiled ~2 ms/block at stage 1, B=32). Gated by a per-window VMEM
     # budget (stage 4's H*N*C blows it; its Bn is tiny anyway).
+    # MELLOW_TPU_DISABLE_FUSED_ATTN: the same trace-time kill switch as
+    # llama/gpt2.prefill — one knob disables every fused Pallas attention.
+    import os
+
     per_w_vmem = num_heads * N * (C * 6 + N * 6)
     if (
         x.dtype == jnp.bfloat16
         and jax.default_backend() in ("tpu", "axon")
         and per_w_vmem <= (6 << 20)
+        and not os.environ.get("MELLOW_TPU_DISABLE_FUSED_ATTN")
     ):
         from mellow_tpu.ops.pallas_window_attention import window_attention_fused
 

@@ -15,8 +15,12 @@ Layout:
     dynamic slices into a (128, 16, 64) scratch tile;
   * the windowed DFT runs as 16 accumulated (128, 64) @ (64, 1026) MXU
     matmuls (fp32 HIGHEST precision), then power -> mel -> log10 on the VPU;
-  * measured ~3.3x faster than the fused-by-XLA jnp reference on v5e-1 with
-    max 3.5e-5 dB deviation.
+  * max 3.5e-5 dB deviation vs the jnp pipeline. Measured crossover on
+    v5e-1 (AFTER frontend.frame_signal's strided-slice rewrite doubled the
+    jnp pipeline): the kernel wins only at B=1 (384 vs 325 clips/s, 1.2x)
+    and loses at B>=8 — its per-frame VPU fill loop is the scaling wall
+    while the jnp path is pure MXU matmuls. ``log_mel_auto`` dispatches
+    here only at small batch; tables in benchmarks/README.md.
 
 Use ``log_mel_spectrogram_pallas`` as a drop-in for
 mellow_tpu.ops.frontend.log_mel_spectrogram.
