@@ -13,7 +13,16 @@ Endpoints:
              "max_len"?: int, "top_p"?: float, "temperature"?: float,
              "sample"?: bool}
       Audio may also be sent inline as {"audio1_b64": base64-wav-bytes}
-      (written to a temp file server-side).
+      (written to a temp file server-side, deleted after the request).
+
+Security posture (the reference has no server, so this is our contract):
+path-based audio reads files SERVER-side, which is an arbitrary-file-read
+oracle if exposed. Paths are therefore only accepted when (a) an explicit
+``audio_root`` allowlist directory is configured — resolved paths must
+live under it — or (b) no root is set AND the server is bound to
+loopback. Error responses never echo the probed path. Request bodies are
+capped (413 above ``max_body_bytes``) and inline temp wavs are removed
+after each request, so disk use is bounded under sustained load.
 
 Run: python -m mellow_tpu.server --port 8080        (real checkpoints via
 MELLOW_TPU_PARAMS, like everywhere else).
@@ -24,27 +33,57 @@ from __future__ import annotations
 import base64
 import json
 import os
+import shutil
 import tempfile
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
 
 from mellow_tpu.serving import BatchingEngine
 from mellow_tpu.utils.metrics import GLOBAL as metrics
 
+_LOOPBACK_HOSTS = ("127.0.0.1", "localhost", "::1")
+
 
 class MellowServer:
-    def __init__(self, wrapper, max_batch_size: int = 32, max_wait_ms: float = 20.0):
+    def __init__(
+        self,
+        wrapper,
+        max_batch_size: int = 32,
+        max_wait_ms: float = 20.0,
+        audio_root: Optional[str] = None,
+        max_body_bytes: int = 64 << 20,
+        request_timeout: Optional[float] = None,
+    ):
         self.engine = BatchingEngine(
             wrapper, max_batch_size=max_batch_size, max_wait_ms=max_wait_ms
         )
+        self.audio_root = (
+            None if audio_root is None else os.path.realpath(audio_root)
+        )
+        self.max_body_bytes = max_body_bytes
+        self.request_timeout = request_timeout
         self._tmpdir = tempfile.mkdtemp(prefix="mellow_srv_")
+        # Until make_http_server tells us the bind host, assume loopback
+        # (library users calling handle_generate directly are local).
+        self._loopback = True
 
     # ------------------------------------------------------------------
 
-    def _resolve_audio(self, body: dict, key: str) -> str:
+    def _resolve_audio(self, body: dict, key: str, cleanup: list) -> str:
         if key in body:
-            path = body[key]
-            if not os.path.exists(path):
-                raise FileNotFoundError(f"{key}: no such file {path!r}")
+            path = os.path.realpath(str(body[key]))
+            if self.audio_root is not None:
+                if os.path.commonpath([path, self.audio_root]) != self.audio_root:
+                    raise PermissionError(f"{key}: path outside the audio root")
+            elif not self._loopback:
+                raise PermissionError(
+                    f"{key}: path-based audio is disabled on a non-loopback "
+                    "bind without --audio-root; send inline "
+                    f"{key}_b64 instead"
+                )
+            if not os.path.isfile(path):
+                # Deliberately no path echo: don't be an existence oracle.
+                raise FileNotFoundError(f"{key}: file not found")
             return path
         b64 = body.get(f"{key}_b64")
         if b64 is None:
@@ -53,28 +92,40 @@ class MellowServer:
         fd, path = tempfile.mkstemp(suffix=".wav", dir=self._tmpdir)
         with os.fdopen(fd, "wb") as f:
             f.write(raw)
+        cleanup.append(path)
         return path
 
     def handle_generate(self, body: dict) -> dict:
-        a1 = self._resolve_audio(body, "audio1")
-        a2 = self._resolve_audio(body, "audio2")
-        prompt = body["prompt"]
-        fut = self.engine.submit(
-            a1, a2, prompt,
-            max_len=int(body.get("max_len", 300)),
-            top_p=float(body.get("top_p", 0.8)),
-            temperature=float(body.get("temperature", 1.0)),
-            sample=bool(body.get("sample", False)),
-        )
-        return {"text": fut.result()}
+        tmp_wavs: list = []
+        try:
+            a1 = self._resolve_audio(body, "audio1", tmp_wavs)
+            a2 = self._resolve_audio(body, "audio2", tmp_wavs)
+            prompt = body["prompt"]
+            fut = self.engine.submit(
+                a1, a2, prompt,
+                max_len=int(body.get("max_len", 300)),
+                top_p=float(body.get("top_p", 0.8)),
+                temperature=float(body.get("temperature", 1.0)),
+                sample=bool(body.get("sample", False)),
+                timeout=self.request_timeout,
+            )
+            return {"text": fut.result(self.request_timeout)}
+        finally:
+            for p in tmp_wavs:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
 
     def shutdown(self):
         self.engine.shutdown()
+        shutil.rmtree(self._tmpdir, ignore_errors=True)
 
     # ------------------------------------------------------------------
 
     def make_http_server(self, host: str = "127.0.0.1", port: int = 8080):
         app = self
+        self._loopback = host in _LOOPBACK_HOSTS
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, fmt, *args):  # quiet; metrics cover it
@@ -102,21 +153,29 @@ class MellowServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
+                    if n > app.max_body_bytes:
+                        self._send(413, {"error": "request body too large"})
+                        return
                     body = json.loads(self.rfile.read(n) or b"{}")
                     with metrics.timer("http_generate"):
                         out = app.handle_generate(body)
                     self._send(200, out)
                 except (KeyError, FileNotFoundError, ValueError) as e:
                     self._send(400, {"error": str(e)})
+                except PermissionError as e:
+                    self._send(403, {"error": str(e)})
+                except TimeoutError:
+                    self._send(504, {"error": "generation timed out"})
                 except Exception as e:  # noqa: BLE001 — surface to client
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve(wrapper, host: str = "127.0.0.1", port: int = 8080) -> None:
-    """Blocking entrypoint."""
-    srv = MellowServer(wrapper)
+def serve(wrapper, host: str = "127.0.0.1", port: int = 8080, **kw) -> None:
+    """Blocking entrypoint. ``**kw`` forwards to MellowServer (audio_root,
+    max_body_bytes, request_timeout, batching knobs)."""
+    srv = MellowServer(wrapper, **kw)
     httpd = srv.make_http_server(host, port)
     print(f"mellow_tpu server on http://{host}:{port}")
     try:
@@ -136,11 +195,21 @@ def _main():
     ap.add_argument("--config", default="v0")
     ap.add_argument("--model", default="v0")
     ap.add_argument("--weight-dtype", default=None, choices=[None, "int8"])
+    ap.add_argument(
+        "--audio-root", default=None,
+        help="directory allowlist for path-based audio; required to accept "
+        "paths on a non-loopback --host (inline *_b64 always works)",
+    )
+    ap.add_argument("--request-timeout", type=float, default=600.0)
     args = ap.parse_args()
     wrapper = MellowWrapper(
         args.config, args.model, 0, weight_dtype=args.weight_dtype
     )
-    serve(wrapper, args.host, args.port)
+    if args.host not in _LOOPBACK_HOSTS and args.audio_root is None:
+        print("note: non-loopback bind without --audio-root — path-based "
+              "audio disabled, inline *_b64 only")
+    serve(wrapper, args.host, args.port, audio_root=args.audio_root,
+          request_timeout=args.request_timeout)
 
 
 if __name__ == "__main__":

@@ -31,7 +31,7 @@ def server_url():
     httpd = srv.make_http_server("127.0.0.1", 0)  # ephemeral port
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{httpd.server_address[1]}", wrapper
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", wrapper, srv
     httpd.shutdown()
     srv.shutdown()
 
@@ -46,7 +46,7 @@ def _post(url, body, timeout=600):
 
 
 def test_healthz_and_metrics(server_url):
-    url, _ = server_url
+    url, _, _ = server_url
     with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
         assert json.loads(r.read())["status"] == "ok"
     with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
@@ -54,7 +54,7 @@ def test_healthz_and_metrics(server_url):
 
 
 def test_generate_matches_direct(server_url):
-    url, wrapper = server_url
+    url, wrapper, _ = server_url
     status, out = _post(
         url + "/generate",
         {"audio1": REF_WAV1, "audio2": REF_WAV2, "prompt": "hello",
@@ -68,7 +68,7 @@ def test_generate_matches_direct(server_url):
 
 
 def test_generate_inline_base64_audio(server_url):
-    url, _ = server_url
+    url, _, _ = server_url
     wav = base64.b64encode(open(REF_WAV1, "rb").read()).decode()
     status, out = _post(
         url + "/generate",
@@ -78,7 +78,7 @@ def test_generate_inline_base64_audio(server_url):
 
 
 def test_error_paths(server_url):
-    url, _ = server_url
+    url, _, _ = server_url
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(url + "/generate", {"prompt": "no audio"})
     assert e.value.code == 400
@@ -89,3 +89,68 @@ def test_error_paths(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(url + "/nope", {})
     assert e.value.code == 404
+
+
+def test_tmp_wavs_cleaned_after_request(server_url):
+    """Inline-b64 temp wavs are deleted once the request resolves."""
+    import os
+
+    url, _, srv = server_url
+    wav = base64.b64encode(open(REF_WAV1, "rb").read()).decode()
+    status, _ = _post(
+        url + "/generate",
+        {"audio1_b64": wav, "audio2_b64": wav, "prompt": "y", "max_len": 3},
+    )
+    assert status == 200
+    assert os.listdir(srv._tmpdir) == []
+
+
+def test_oversized_body_rejected_413(server_url):
+    url, _, srv = server_url
+    old = srv.max_body_bytes
+    srv.max_body_bytes = 100
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url + "/generate",
+                  {"audio1": REF_WAV1, "audio2": REF_WAV2,
+                   "prompt": "x" * 200})
+        assert e.value.code == 413
+    finally:
+        srv.max_body_bytes = old
+
+
+def test_audio_root_allowlist():
+    """Paths outside audio_root -> PermissionError (403 over HTTP); errors
+    never echo the probed path (no existence oracle)."""
+    srv = MellowServer(object(), audio_root="/root/reference/resource")
+    try:
+        with pytest.raises(PermissionError) as e:
+            srv.handle_generate(
+                {"audio1": "/etc/passwd", "audio2": REF_WAV2, "prompt": "x"}
+            )
+        assert "/etc/passwd" not in str(e.value)
+        # Traversal inside the root does not escape it.
+        with pytest.raises(PermissionError):
+            srv.handle_generate(
+                {"audio1": "/root/reference/resource/../../../etc/passwd",
+                 "audio2": REF_WAV2, "prompt": "x"})
+        # Missing file under the root: FileNotFoundError without the path.
+        with pytest.raises(FileNotFoundError) as e:
+            srv.handle_generate(
+                {"audio1": "/root/reference/resource/nope.wav",
+                 "audio2": REF_WAV2, "prompt": "x"})
+        assert "nope" not in str(e.value)
+    finally:
+        srv.shutdown()
+
+
+def test_non_loopback_requires_audio_root():
+    srv = MellowServer(object())
+    srv._loopback = False  # as make_http_server sets for a public bind
+    try:
+        with pytest.raises(PermissionError):
+            srv.handle_generate(
+                {"audio1": REF_WAV1, "audio2": REF_WAV2, "prompt": "x"}
+            )
+    finally:
+        srv.shutdown()

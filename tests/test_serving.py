@@ -53,3 +53,87 @@ def test_shutdown_rejects_new_work(wrapper):
     engine.shutdown()
     with pytest.raises(RuntimeError):
         engine.submit(REF_WAV1, REF_WAV1, "x", max_len=2)
+
+
+class _RecordingWrapper:
+    """Fake wrapper: records batch compositions, simulates device time."""
+
+    def __init__(self):
+        import threading
+        self.lock = threading.Lock()
+        self.batches = []
+
+    def generate(self, examples, **kw):
+        time.sleep(0.02)
+        with self.lock:
+            self.batches.append((kw["max_len"], len(examples)))
+        return [f"{e[2]}|{kw['max_len']}" for e in examples]
+
+
+def test_concurrent_load_mixed_keys_no_starvation():
+    """N threads, 3 interleaved keys: every request completes with its own
+    key's parameters (FIFO per-key fairness — no request starves behind a
+    stream of other-key arrivals), batches never mix keys, clean shutdown."""
+    import threading
+
+    w = _RecordingWrapper()
+    engine = BatchingEngine(w, max_batch_size=4, max_wait_ms=10)
+    results = {}
+    lock = threading.Lock()
+
+    def client(i):
+        key_len = 10 + (i % 3)
+        r = engine.generate("a.wav", "b.wav", f"p{i}", max_len=key_len,
+                            timeout=30)
+        with lock:
+            results[i] = (r, key_len)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(24)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive(), "request starved"
+    assert len(results) == 24
+    for i, (r, key_len) in results.items():
+        assert r == f"p{i}|{key_len}"
+    # Every dispatched batch was single-key and bounded.
+    assert all(n <= 4 for _, n in w.batches)
+    engine.shutdown()
+    assert not engine._thread.is_alive()
+
+
+def test_timeout_expires_queued_request():
+    w = _RecordingWrapper()
+    engine = BatchingEngine(w, max_batch_size=2, max_wait_ms=1)
+    fut = engine.submit("a.wav", "b.wav", "late", max_len=5, timeout=0.0)
+    with pytest.raises(TimeoutError):
+        fut.result(timeout=30)
+    engine.shutdown()
+
+
+def test_shutdown_drains_prior_submissions():
+    """Requests accepted before shutdown() sit ahead of the shutdown
+    sentinel, so the dispatcher drains them (every accepted Future
+    resolves) and join() returns promptly."""
+    import threading
+
+    class _Blocker:
+        ev = threading.Event()
+
+        def generate(self, examples, **kw):
+            self.ev.wait(10)
+            return ["x" for _ in examples]
+
+    w = _Blocker()
+    engine = BatchingEngine(w, max_batch_size=1, max_wait_ms=1)
+    first = engine.submit("a", "b", "runs", max_len=3)
+    time.sleep(0.1)  # dispatcher is now blocked inside generate
+    queued = engine.submit("a", "b", "queued", max_len=4)
+    shut = threading.Thread(target=engine.shutdown)
+    shut.start()
+    w.ev.set()
+    shut.join(timeout=30)
+    assert not shut.is_alive()
+    assert first.result(10) == "x" and queued.result(10) == "x"
+    assert not engine._thread.is_alive()
