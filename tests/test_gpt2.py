@@ -144,3 +144,51 @@ def test_quantized_gpt2_matches_dequantized(pair):
     tq, td = np.asarray(r_q.tokens), np.asarray(r_d.tokens)
     assert (tq[:, 0] == td[:, 0]).all()
     assert (tq == td).mean() >= 0.75
+
+
+def test_fullsize_gpt2_small_shape_parity():
+    """gpt2-small production shape (12L/768/12h/50257, the reference's
+    'gpt2-base' decoder option, mellow/model/decoder.py:26-31, 41-45):
+    HF-oracle logits parity + greedy decode steps at B=1. Catches bugs
+    specific to the production dims that the 3L/48 toy shape cannot
+    (VERDICT r2 item 6)."""
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+    from mellow_tpu.models import generate as gen
+
+    cfg = gpt2.GPT2Config()  # production defaults = gpt2-small shape
+    assert (cfg.num_layers, cfg.hidden_size, cfg.num_heads,
+            cfg.vocab_size) == (12, 768, 12, 50257)
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(
+        HFConfig(attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0)
+    ).eval()
+    params = jax.tree.map(
+        jnp.asarray, gpt2.convert_hf_gpt2(hf.state_dict(), cfg.num_layers)
+    )
+
+    rng = np.random.RandomState(4)
+    B, P = 1, 8
+    prefix = (rng.randn(B, P, cfg.hidden_size) * 0.1).astype(np.float32)
+
+    with torch.no_grad():
+        ref_logits = hf(inputs_embeds=torch.from_numpy(prefix)).logits.numpy()
+    ours = np.asarray(gpt2.forward(params, cfg, jnp.asarray(prefix)))
+    np.testing.assert_allclose(ours, ref_logits, atol=2e-3, rtol=2e-3)
+
+    # greedy decode token parity through prefill + cache decode_step
+    max_len, stop = 4, 0
+    generated = torch.from_numpy(prefix)
+    tokens = None
+    with torch.no_grad():
+        for _ in range(max_len):
+            logits = hf(inputs_embeds=generated).logits[:, -1, :]
+            nxt = torch.argmax(logits, -1).unsqueeze(1)
+            tokens = nxt if tokens is None else torch.cat([tokens, nxt], 1)
+            generated = torch.cat([generated, hf.transformer.wte(nxt)], dim=1)
+    res = gen.generate(
+        params, cfg, jnp.asarray(prefix), max_len=max_len,
+        stop_token_id=stop, greedy=True, family="gpt2",
+    )
+    n = int(res.num_steps)
+    assert n == tokens.shape[1]
+    np.testing.assert_array_equal(np.asarray(res.tokens)[:, :n], tokens.numpy())
