@@ -140,11 +140,139 @@ def _sample_token(
     return jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
 
 
+class DecodeState(NamedTuple):
+    """Decode while_loop state. Also the unit the cascade driver
+    (``generate_cascade``) compacts between stages — every per-row field
+    keeps batch as its leading axis (cache batch axis is 1)."""
+
+    cache: KVCache  # or GPT2Cache
+    tokens: jax.Array  # (B, ML)
+    last_hidden: jax.Array  # (B, D)
+    t: jax.Array  # scalar int32, multiple of W
+    done: jax.Array  # (B,) bool
+    rng: jax.Array
+    prompt_seen: Optional[jax.Array] = None  # (B, V) repetition-penalty seed
+
+
+def _effective_window(flush_window: int, max_len: int, greedy: bool) -> int:
+    if not greedy:
+        # Each unrolled sub-step inlines a full top-p sort over the vocab;
+        # cap the window so the compiled program stays small (the flush
+        # batching matters for bulk greedy decode, not sampling).
+        flush_window = min(flush_window, 2)
+    return max(1, min(flush_window, max_len))
+
+
+def _init_state(
+    params, cfg, prefix_embeds, *, max_len, cache_dtype, family, W, rng,
+    initial_done, repetition_penalty, prompt_tokens, prompt_mask,
+    prefill_chunk=None,
+) -> DecodeState:
+    """Prefill + initial decode state (cache.length == P: every prefix
+    position is flushed; pending starts empty and is always empty again at
+    window boundaries, so the loop state has a static pytree structure)."""
+    from mellow_tpu.models.decoders import get_decoder_ops
+
+    ops = get_decoder_ops(family)
+    B, P, D = prefix_embeds.shape
+    ML = -(-max_len // W) * W  # token buffer rounded up to whole windows
+    cache = ops.create_cache(cfg, B, P + ML, jnp.dtype(cache_dtype))
+    if family == "llama":
+        hidden, cache = ops.prefill(
+            params, cfg, prefix_embeds, cache, chunk=prefill_chunk
+        )
+    else:
+        hidden, cache = ops.prefill(params, cfg, prefix_embeds, cache)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    prompt_seen = None
+    if repetition_penalty != 1.0 and prompt_tokens is not None:
+        pm = (
+            jnp.ones(prompt_tokens.shape, bool)
+            if prompt_mask is None
+            else prompt_mask
+        )
+        prompt_seen = seen_mask(
+            prompt_tokens, pm, ops.embed_table(params).shape[0]
+        )
+    return DecodeState(
+        cache=cache,
+        tokens=jnp.zeros((B, ML), jnp.int32),
+        last_hidden=hidden,
+        t=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((B,), bool) if initial_done is None else initial_done,
+        rng=rng,
+        prompt_seen=prompt_seen,
+    )
+
+
+def _decode_loop(
+    params, cfg, state: DecodeState, *, family, max_len, stop_token_id,
+    greedy, top_p, temperature, top_k, repetition_penalty, W,
+    alive_threshold: int = 0,
+) -> DecodeState:
+    """The windowed decode while_loop. Runs until ``max_len`` or until the
+    number of unfinished rows drops to ``alive_threshold`` (0 = all done,
+    the plain path; the cascade driver uses B/2 to trigger compaction)."""
+    from mellow_tpu.models.decoders import get_decoder_ops
+
+    ops = get_decoder_ops(family)
+    dtype = state.last_hidden.dtype
+    S_max = state.cache.k.shape[2]
+
+    if family == "llama":
+        cos_np, sin_np = llama.rope_tables(cfg, S_max, dtype)
+        cos_full, sin_full = jnp.asarray(cos_np), jnp.asarray(sin_np)
+
+        def step(tok_embed, cache, pending):
+            return llama.decode_step(
+                params, cfg, tok_embed, cache, cos_full, sin_full, pending
+            )
+    else:
+
+        def step(tok_embed, cache, pending):
+            return ops.decode_step(params, cfg, tok_embed, cache, pending)
+
+    embed_table = ops.embed_table(params)
+
+    def cond(s: DecodeState):
+        return jnp.logical_and(
+            s.t < max_len, jnp.sum(~s.done) > alive_threshold
+        )
+
+    def body(s: DecodeState):
+        cache, tokens, hidden, done, rng = (
+            s.cache, s.tokens, s.last_hidden, s.done, s.rng
+        )
+        pending = None
+        for i in range(W):  # static unroll: pending grows 0 -> W entries
+            logits = ops.logits_from_hidden(params, cfg, hidden)
+            step_rng, rng = jax.random.split(rng)
+            next_tok = _sample_token(
+                logits, greedy=greedy, top_p=top_p, temperature=temperature,
+                rng=step_rng, top_k=top_k,
+                repetition_penalty=repetition_penalty,
+                prev_tokens=tokens, step=s.t + i, prompt_seen=s.prompt_seen,
+            )
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, next_tok[:, None], (0, s.t + i)
+            )
+            done = jnp.logical_or(done, next_tok == stop_token_id)
+            tok_embed = embed_table[next_tok].astype(dtype)  # (B, D)
+            hidden, cache, pending = step(tok_embed, cache, pending)
+        cache = ops.flush_pending(cfg, cache, pending)
+        return DecodeState(
+            cache, tokens, hidden, s.t + W, done, rng, s.prompt_seen
+        )
+
+    return jax.lax.while_loop(cond, body, state)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "max_len", "stop_token_id", "greedy", "cache_dtype", "family",
-        "flush_window", "top_k", "repetition_penalty",
+        "flush_window", "top_k", "repetition_penalty", "prefill_chunk",
     ),
 )
 def generate(
@@ -167,6 +295,7 @@ def generate(
     prompt_tokens: Optional[jax.Array] = None,  # (B, T) ids seeding the
     # repetition-penalty mask (HF penalizes prompt + generated tokens)
     prompt_mask: Optional[jax.Array] = None,  # (B, T) bool: real (non-pad)
+    prefill_chunk: Optional[int] = None,  # llama.prefill batch chunking
 ) -> GenerateResult:
     """``flush_window`` (W): decode steps per KV-cache flush. The per-step
     cache scatter is RMW-tile bound — writing W rows costs the same as one
@@ -179,97 +308,189 @@ def generate(
     steps, which the reference's no-early-exit trim also produces,
     wrapper.py:247-254); int8 caches see slightly HIGHER fidelity for the
     trailing window (pending rides unquantized)."""
-    from mellow_tpu.models.decoders import get_decoder_ops
-
-    ops = get_decoder_ops(family)
-    B, P, D = prefix_embeds.shape
-    if not greedy:
-        # Each unrolled sub-step inlines a full top-p sort over the vocab;
-        # cap the window so the compiled program stays small (the flush
-        # batching matters for bulk greedy decode, not sampling).
-        flush_window = min(flush_window, 2)
-    W = max(1, min(flush_window, max_len))
-    ML = -(-max_len // W) * W  # token buffer rounded up to whole windows
-    S_max = P + ML
-    dtype = prefix_embeds.dtype
-    cache = ops.create_cache(cfg, B, S_max, jnp.dtype(cache_dtype))
-
-    if family == "llama":
-        cos_np, sin_np = llama.rope_tables(cfg, S_max, dtype)
-        cos_full, sin_full = jnp.asarray(cos_np), jnp.asarray(sin_np)
-
-        def step(tok_embed, cache, pending):
-            return llama.decode_step(
-                params, cfg, tok_embed, cache, cos_full, sin_full, pending
-            )
-    else:
-
-        def step(tok_embed, cache, pending):
-            return ops.decode_step(params, cfg, tok_embed, cache, pending)
-
-    hidden, cache = ops.prefill(params, cfg, prefix_embeds, cache)
-    # cache.length == P: every prefix position is flushed; pending starts
-    # empty and is always empty again at window boundaries, so the loop
-    # state has a static pytree structure.
-
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-
-    class State(NamedTuple):
-        cache: KVCache
-        tokens: jax.Array  # (B, ML)
-        last_hidden: jax.Array  # (B, D)
-        t: jax.Array  # scalar int32, multiple of W
-        done: jax.Array  # (B,) bool
-        rng: jax.Array
-
-    def cond(s: State):
-        return jnp.logical_and(s.t < max_len, ~jnp.all(s.done))
-
-    embed_table = ops.embed_table(params)
-
-    prompt_seen = None
-    if repetition_penalty != 1.0 and prompt_tokens is not None:
-        pm = (
-            jnp.ones(prompt_tokens.shape, bool)
-            if prompt_mask is None
-            else prompt_mask
-        )
-        prompt_seen = seen_mask(prompt_tokens, pm, embed_table.shape[0])
-
-    def body(s: State):
-        cache, tokens, hidden, done, rng = s.cache, s.tokens, s.last_hidden, s.done, s.rng
-        pending = None
-        for i in range(W):  # static unroll: pending grows 0 -> W entries
-            logits = ops.logits_from_hidden(params, cfg, hidden)
-            step_rng, rng = jax.random.split(rng)
-            next_tok = _sample_token(
-                logits, greedy=greedy, top_p=top_p, temperature=temperature,
-                rng=step_rng, top_k=top_k,
-                repetition_penalty=repetition_penalty,
-                prev_tokens=tokens, step=s.t + i, prompt_seen=prompt_seen,
-            )
-            tokens = jax.lax.dynamic_update_slice(
-                tokens, next_tok[:, None], (0, s.t + i)
-            )
-            done = jnp.logical_or(done, next_tok == stop_token_id)
-            tok_embed = embed_table[next_tok].astype(dtype)  # (B, D)
-            hidden, cache, pending = step(tok_embed, cache, pending)
-        cache = ops.flush_pending(cfg, cache, pending)
-        return State(cache, tokens, hidden, s.t + W, done, rng)
-
-    init = State(
-        cache=cache,
-        tokens=jnp.zeros((B, ML), jnp.int32),
-        last_hidden=hidden,
-        t=jnp.zeros((), jnp.int32),
-        done=jnp.zeros((B,), bool) if initial_done is None else initial_done,
-        rng=rng,
+    W = _effective_window(flush_window, max_len, greedy)
+    state = _init_state(
+        params, cfg, prefix_embeds, max_len=max_len, cache_dtype=cache_dtype,
+        family=family, W=W, rng=rng, initial_done=initial_done,
+        repetition_penalty=repetition_penalty, prompt_tokens=prompt_tokens,
+        prompt_mask=prompt_mask, prefill_chunk=prefill_chunk,
     )
-    final = jax.lax.while_loop(cond, body, init)
+    final = _decode_loop(
+        params, cfg, state, family=family, max_len=max_len,
+        stop_token_id=stop_token_id, greedy=greedy, top_p=top_p,
+        temperature=temperature, top_k=top_k,
+        repetition_penalty=repetition_penalty, W=W, alive_threshold=0,
+    )
     return GenerateResult(
         tokens=final.tokens[:, :max_len],
         num_steps=jnp.minimum(final.t, max_len),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_len", "cache_dtype", "family", "W", "repetition_penalty",
+        "prefill_chunk",
+    ),
+)
+def _cascade_prefill(
+    params, cfg, prefix_embeds, rng, initial_done, prompt_tokens, prompt_mask,
+    *, max_len, cache_dtype, family, W, repetition_penalty, prefill_chunk,
+) -> DecodeState:
+    return _init_state(
+        params, cfg, prefix_embeds, max_len=max_len, cache_dtype=cache_dtype,
+        family=family, W=W, rng=rng, initial_done=initial_done,
+        repetition_penalty=repetition_penalty, prompt_tokens=prompt_tokens,
+        prompt_mask=prompt_mask, prefill_chunk=prefill_chunk,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "family", "max_len", "stop_token_id", "greedy", "top_p",
+        "temperature", "top_k", "repetition_penalty", "W", "alive_threshold",
+    ),
+)
+def _cascade_stage(
+    params, cfg, state: DecodeState, *, family, max_len, stop_token_id,
+    greedy, top_p, temperature, top_k, repetition_penalty, W,
+    alive_threshold,
+) -> DecodeState:
+    return _decode_loop(
+        params, cfg, state, family=family, max_len=max_len,
+        stop_token_id=stop_token_id, greedy=greedy, top_p=top_p,
+        temperature=temperature, top_k=top_k,
+        repetition_penalty=repetition_penalty, W=W,
+        alive_threshold=alive_threshold,
+    )
+
+
+@jax.jit
+def _compact_state(state: DecodeState, perm: jax.Array) -> DecodeState:
+    """Gather the rows in ``perm`` into a smaller batch. One whole-cache
+    gather (≈ the cost of ~1 decode step's cache read) buys a halved
+    per-step cost for every remaining step."""
+    cache = state.cache
+    upd = {"k": cache.k[:, perm], "v": cache.v[:, perm]}
+    for f in ("k_scale", "v_scale"):
+        s = getattr(cache, f, None)
+        if s is not None and s.ndim >= 2 and s.shape[1] == cache.k.shape[1]:
+            upd[f] = s[:, perm]
+    return DecodeState(
+        cache=cache._replace(**upd),
+        tokens=state.tokens[perm],
+        last_hidden=state.last_hidden[perm],
+        t=state.t,
+        done=state.done[perm],
+        rng=state.rng,
+        prompt_seen=(
+            None if state.prompt_seen is None else state.prompt_seen[perm]
+        ),
+    )
+
+
+def generate_cascade(
+    params,
+    cfg,
+    prefix_embeds: jax.Array,  # (B, P, D)
+    *,
+    max_len: int,
+    stop_token_id: int,
+    greedy: bool = True,
+    top_p: float = 0.8,
+    temperature: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    cache_dtype: str = "float32",
+    initial_done: Optional[jax.Array] = None,
+    family: str = "llama",
+    flush_window: int = 8,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    prompt_tokens: Optional[jax.Array] = None,
+    prompt_mask: Optional[jax.Array] = None,
+    prefill_chunk: Optional[int] = None,
+    min_batch: int = 32,
+) -> GenerateResult:
+    """Cascade decode: reclaim the dead compute of finished rows.
+
+    The reference keeps every row decoding until the LAST row finishes
+    (wrapper.py:247-248) and so does ``generate`` — for heterogeneous
+    answer lengths (1-2-token binary AQA mixed with ~100-token captions,
+    the reference's own task mix) most of B x steps is dead work, because
+    the decode step's cost is dominated by cache reads that scale with B.
+
+    This driver runs the SAME windowed loop in stages: each stage exits
+    when at most half its rows are still unfinished; the host then banks
+    the finished rows' tokens, gathers the live rows into a batch of the
+    next power of two (>= ``min_batch``), and continues in a smaller
+    precompiled loop. All rows entered the batch together, so every live
+    row sits at the same position t — no ragged attention, no per-row
+    positions; static shapes per stage keep XLA happy. Each compaction
+    costs one whole-cache gather (~1 step's worth of reads) and a (B,)
+    done-mask + token-buffer fetch.
+
+    Per-row outputs are IDENTICAL to ``generate`` up to each row's first
+    stop token (greedy: bitwise — row math is batch-independent; the
+    gather is exact). Tokens after a row's stop may differ (the static
+    path keeps writing, the cascade freezes at drop time) — both are
+    discarded by the stop-token trim, reference wrapper.py:254 semantics.
+    Sampling streams diverge from the static path after the first
+    compaction (rng consumption order changes) but stay valid draws.
+
+    ``num_steps`` is the global step count the slowest row ran (same
+    contract as ``generate``).
+    """
+    import numpy as np
+
+    B = prefix_embeds.shape[0]
+    W = _effective_window(flush_window, max_len, greedy)
+    ML = -(-max_len // W) * W
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    state = _cascade_prefill(
+        params, cfg, prefix_embeds, rng, initial_done,
+        prompt_tokens if repetition_penalty != 1.0 else None, prompt_mask,
+        max_len=max_len, cache_dtype=cache_dtype, family=family, W=W,
+        repetition_penalty=repetition_penalty, prefill_chunk=prefill_chunk,
+    )
+
+    out_tokens = np.zeros((B, ML), np.int32)
+    orig = np.arange(B)  # active row -> original row index
+    cur = B
+    while True:
+        thr = cur // 2 if cur > min_batch else 0
+        state = _cascade_stage(
+            params, cfg, state, family=family, max_len=max_len,
+            stop_token_id=stop_token_id, greedy=greedy, top_p=top_p,
+            temperature=temperature, top_k=top_k,
+            repetition_penalty=repetition_penalty, W=W, alive_threshold=thr,
+        )
+        done = np.asarray(state.done)
+        t_final = int(state.t)
+        if t_final >= max_len or done.all():
+            break
+        alive = np.nonzero(~done)[0]
+        new_b = max(min_batch, 1 << int(np.ceil(np.log2(max(1, len(alive))))))
+        assert new_b < cur, (new_b, cur, len(alive))  # thr guarantees this
+        # Bank finished rows (their pre-stop tokens are final; post-stop
+        # content is trimmed by the caller either way).
+        toks = np.asarray(state.tokens)
+        dropped = np.nonzero(done)[0]
+        out_tokens[orig[dropped]] = toks[dropped]
+        # Pad the live set to new_b with already-done rows (they stay done
+        # and fall out at the next compaction).
+        pad = new_b - len(alive)
+        perm = np.concatenate([alive, dropped[:pad]]).astype(np.int32)
+        state = _compact_state(state, jnp.asarray(perm))
+        orig = orig[perm]
+        cur = new_b
+
+    out_tokens[orig] = np.asarray(state.tokens)
+    return GenerateResult(
+        tokens=jnp.asarray(out_tokens[:, :max_len]),
+        num_steps=jnp.minimum(jnp.asarray(t_final, jnp.int32), max_len),
     )
 
 

@@ -317,35 +317,12 @@ def logits_from_hidden(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
     return x @ head.astype(x.dtype)
 
 
-def prefill(
-    params,
-    cfg: LlamaConfig,
-    inputs_embeds: jax.Array,
-    cache: KVCache,
-) -> Tuple[jax.Array, KVCache]:
-    """Run the prefix through the model, filling the cache.
-
-    Returns (hidden of last position (B, D) post-final-norm, updated cache).
-    """
+def _prefill_scan(params, cfg: LlamaConfig, inputs_embeds, use_fused):
+    """Layer scan over one batch chunk: returns (post-norm last hidden
+    (B, D), packed ks/vs (L, B, S, KV*hd))."""
     B, S, D = inputs_embeds.shape
-    S_max = cache.k.shape[2]
     cos_t, sin_t = rope_tables(cfg, S, inputs_embeds.dtype)
     cos, sin = jnp.asarray(cos_t), jnp.asarray(sin_t)
-    # NOTE: the stock Pallas flash-attention kernel was measured SLOWER here
-    # (B=64, S=389->512 pad, hd=64, 9 heads: 209 ms vs 106 ms for the einsum
-    # formulation on v5e-1 — its block sizes don't suit this tiny head_dim
-    # and the GQA repeat adds traffic). The CUSTOM whole-sequence-in-VMEM
-    # GQA kernel (ops/pallas_attention.py) IS faster (1.70 vs 3.01 ms/layer)
-    # and serves the bf16 perf mode on TPU; fp32 parity mode and CPU keep
-    # the einsum.
-    import os
-
-    use_fused = (
-        inputs_embeds.dtype == jnp.bfloat16
-        and jax.default_backend() in ("tpu", "axon")
-        and S <= 1024  # whole-sequence-in-VMEM design bound
-        and not os.environ.get("MELLOW_TPU_DISABLE_FUSED_ATTN")
-    )
     causal = jnp.tril(jnp.ones((S, S), bool))
     mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
 
@@ -355,11 +332,71 @@ def prefill(
 
     x, (ks, vs) = jax.lax.scan(body, inputs_embeds, params["layers"])
     # ks: (L, B, S, KV, hd) -> packed (L, B, S, KV*hd); (KV, hd) are adjacent
-    # so this is a pure view, no transpose. Pad to the cache's lane-aligned
-    # packed dim (see KVCache.packed_dim).
+    # so this is a pure view, no transpose.
     L_, B_, S_ = ks.shape[:3]
     ks = ks.reshape(L_, B_, S_, -1)
     vs = vs.reshape(L_, B_, S_, -1)
+    # Final norm is per-position: norm of the last row == last row of the
+    # full norm, so only the row the decode loop consumes is computed.
+    x_last = rms_norm(x[:, -1, :], params["norm_f"], cfg.rms_norm_eps)
+    return x_last, ks, vs
+
+
+def prefill(
+    params,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,
+    cache: KVCache,
+    chunk: Optional[int] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Run the prefix through the model, filling the cache.
+
+    Returns (hidden of last position (B, D) post-final-norm, updated cache).
+
+    ``chunk``: batch-chunked prefill. XLA flips the scan carry's activation
+    layout to batch-minor above B=128 and inserts repair copies, dropping
+    large-batch prefill to ~40% MFU (profiled — benchmarks/README.md);
+    running the layer scan as B/chunk sequential chunks of <=128 rows keeps
+    every chunk on the standard layout. None = auto (128 on TPU, off
+    elsewhere); 0 disables (sharded runs: a slice along the DP-sharded
+    batch axis would force cross-device gathers — the wrapper passes 0
+    when a mesh is active, where per-device batches are small anyway).
+    """
+    B, S, D = inputs_embeds.shape
+    S_max = cache.k.shape[2]
+    # NOTE: the stock Pallas flash-attention kernel was measured SLOWER here
+    # (B=64, S=389->512 pad, hd=64, 9 heads: 209 ms vs 106 ms for the einsum
+    # formulation on v5e-1 — its block sizes don't suit this tiny head_dim
+    # and the GQA repeat adds traffic). The CUSTOM whole-sequence-in-VMEM
+    # GQA kernel (ops/pallas_attention.py) IS faster (1.70 vs 3.01 ms/layer)
+    # and serves the bf16 perf mode on TPU; fp32 parity mode and CPU keep
+    # the einsum.
+    import os
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_fused = (
+        inputs_embeds.dtype == jnp.bfloat16
+        and on_tpu
+        and S <= 1024  # whole-sequence-in-VMEM design bound
+        and not os.environ.get("MELLOW_TPU_DISABLE_FUSED_ATTN")
+    )
+    if chunk is None:
+        chunk = 128 if on_tpu else 0
+    if chunk and B > chunk and B % chunk == 0:
+        parts = [
+            _prefill_scan(
+                params, cfg,
+                jax.lax.slice_in_dim(inputs_embeds, i * chunk, (i + 1) * chunk, axis=0),
+                use_fused,
+            )
+            for i in range(B // chunk)
+        ]
+        x = jnp.concatenate([p[0] for p in parts], axis=0)
+        ks = jnp.concatenate([p[1] for p in parts], axis=1)
+        vs = jnp.concatenate([p[2] for p in parts], axis=1)
+    else:
+        x, ks, vs = _prefill_scan(params, cfg, inputs_embeds, use_fused)
+    # Pad to the cache's lane-aligned packed dim (see KVCache.packed_dim).
     pad = cache.k.shape[-1] - ks.shape[-1]
     if pad:
         ks = jnp.pad(ks, ((0, 0),) * 3 + ((0, pad),))
@@ -371,14 +408,12 @@ def prefill(
         new_v = jax.lax.dynamic_update_slice(cache.v, vs8, (0, 0, 0, 0))
         new_ksc = jax.lax.dynamic_update_slice(cache.k_scale, ksc, (0, 0, 0))
         new_vsc = jax.lax.dynamic_update_slice(cache.v_scale, vsc, (0, 0, 0))
-        x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
-        return x[:, -1, :], KVCache(
+        return x, KVCache(
             new_k, new_v, jnp.asarray(S, jnp.int32), new_ksc, new_vsc
         )
     new_k = jax.lax.dynamic_update_slice(cache.k, ks.astype(cache.k.dtype), (0, 0, 0, 0))
     new_v = jax.lax.dynamic_update_slice(cache.v, vs.astype(cache.v.dtype), (0, 0, 0, 0))
-    x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
-    return x[:, -1, :], KVCache(new_k, new_v, jnp.asarray(S, jnp.int32))
+    return x, KVCache(new_k, new_v, jnp.asarray(S, jnp.int32))
 
 
 def flush_pending(cfg: LlamaConfig, cache: KVCache, pending) -> KVCache:

@@ -110,6 +110,58 @@ def generate_tokens(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_prefix_jit(params, cfg: MellowConfig, audio1, audio2, text_ids):
+    return encode_and_prefix(params, cfg, audio1, audio2, text_ids)
+
+
+def generate_tokens_dynamic(
+    params,
+    cfg: MellowConfig,
+    audio1: jax.Array,
+    audio2: jax.Array,
+    text_ids: jax.Array,
+    *,
+    max_len: int,
+    greedy: bool = True,
+    top_p: float = 0.8,
+    temperature: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    cache_dtype: str = "float32",
+    initial_done: Optional[jax.Array] = None,
+    stop_token_id: Optional[int] = None,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    min_batch: int = 32,
+) -> gen.GenerateResult:
+    """``generate_tokens`` with cascade batch compaction: finished rows stop
+    costing decode steps (see generate.generate_cascade). Host-driven between
+    jitted stages, so it cannot live inside one jit like ``generate_tokens``;
+    encoder+prefix runs as its own jit, the decode stages as theirs."""
+    prefix = _encode_prefix_jit(params, cfg, audio1, audio2, text_ids)
+    return gen.generate_cascade(
+        params["decoder"],
+        cfg.decoder,
+        prefix,
+        max_len=max_len,
+        stop_token_id=(
+            cfg.stop_token_id if stop_token_id is None else stop_token_id
+        ),
+        greedy=greedy,
+        top_p=top_p,
+        temperature=temperature,
+        rng=rng,
+        cache_dtype=cache_dtype,
+        initial_done=initial_done,
+        family=cfg.decoder_family,
+        top_k=top_k,
+        repetition_penalty=repetition_penalty,
+        prompt_tokens=text_ids,
+        prompt_mask=text_ids != cfg.pad_token_id,
+        min_batch=min_batch,
+    )
+
+
 def forward_train(
     params,
     cfg: MellowConfig,

@@ -53,10 +53,16 @@ class BatchingEngine:
         wrapper,
         max_batch_size: int = 32,
         max_wait_ms: float = 10.0,
+        dynamic_batch: bool = True,
     ):
         self.wrapper = wrapper
         self.max_batch_size = max_batch_size
         self.max_wait_s = max_wait_ms / 1000.0
+        # Continuous-batching analog: cascade compaction (generate_cascade)
+        # lets short answers (1-2-token AQA) stop paying decode steps while
+        # long captions in the same batch run on — the serving mix is
+        # exactly the heterogeneous workload it reclaims.
+        self.dynamic_batch = dynamic_batch
         self._inbox: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._seq = itertools.count()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -178,6 +184,7 @@ class BatchingEngine:
                 top_p=key.top_p,
                 temperature=key.temperature,
                 sample=key.sample,
+                dynamic_batch=self.dynamic_batch,
             )
             for r, pred in zip(batch, preds):
                 r.future.set_result(pred)

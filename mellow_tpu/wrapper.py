@@ -261,6 +261,8 @@ class MellowWrapper:
         kv_cache_dtype: Optional[str] = None,  # e.g. "int8" (perf option)
         top_k: int = 0,  # sampling-mode extra (0 = off)
         repetition_penalty: float = 1.0,  # HF/CTRL convention; 1.0 = off
+        dynamic_batch: bool = False,  # cascade batch compaction: finished
+        # rows stop costing decode steps (generate.generate_cascade)
     ) -> List[str]:
         """Produce text for [audio1, audio2, prompt] examples
         (signature: reference wrapper.py:258)."""
@@ -288,6 +290,7 @@ class MellowWrapper:
                 sample=sample, seed=seed, kv_cache_dtype=kv_cache_dtype,
                 stop_token_id=stop_token_id, top_k=top_k,
                 repetition_penalty=repetition_penalty,
+                dynamic_batch=dynamic_batch,
             )
             texts = self._detokenize(result, n_real, stop_token)
         metrics.count("tokens", n_real * int(result.num_steps))
@@ -298,7 +301,7 @@ class MellowWrapper:
     def _generate_device(
         self, audio1, audio2, text_ids, max_len, top_p, temperature,
         *, sample=False, seed=0, kv_cache_dtype=None, stop_token_id=None,
-        top_k=0, repetition_penalty=1.0,
+        top_k=0, repetition_penalty=1.0, dynamic_batch=False,
     ):
         B = audio1.shape[0]
         Bp = _next_pow2(B)  # bucket to bound recompiles
@@ -334,8 +337,16 @@ class MellowWrapper:
             text_ids = jax.device_put(np.asarray(text_ids), bsh)
             initial_done = jax.device_put(np.asarray(initial_done), bsh)
         precision = "highest" if dtype == jnp.float32 else "default"
+        # Cascade compaction is a single-device optimization: its host-side
+        # row gathers would fight the DP sharding (and per-device batches
+        # under a mesh are small anyway).
+        gen_fn = (
+            mellow_model.generate_tokens_dynamic
+            if dynamic_batch and self.mesh is None
+            else mellow_model.generate_tokens
+        )
         with jax.default_matmul_precision(precision):
-            result = mellow_model.generate_tokens(
+            result = gen_fn(
                 params,
                 self.cfg,
                 jnp.asarray(audio1, dtype),
