@@ -356,11 +356,14 @@ def prefill(
     ``chunk``: batch-chunked prefill. XLA flips the scan carry's activation
     layout to batch-minor above B=128 and inserts repair copies, dropping
     large-batch prefill to ~40% MFU (profiled — benchmarks/README.md);
-    running the layer scan as B/chunk sequential chunks of <=128 rows keeps
-    every chunk on the standard layout. None = auto (128 on TPU, off
-    elsewhere); 0 disables (sharded runs: a slice along the DP-sharded
-    batch axis would force cross-device gathers — the wrapper passes 0
-    when a mesh is active, where per-device batches are small anyway).
+    running the layer scan as B/chunk sequential chunks keeps every chunk
+    on the standard layout. Measured at B=256 int8/int8, prefill+16 steps:
+    off 433 ms, 128 -> 397, 64 -> 370, 32 -> 357 (1.21x; per-op profile
+    shows all-standard layouts and zero repair copies at 32). None = auto
+    (32 when B > 128 on TPU — B <= 128 never flips and stays monolithic);
+    0 disables (sharded runs: a slice along the DP-sharded batch axis
+    would force cross-device gathers — the wrapper passes 0 when a mesh is
+    active, where per-device batches are small anyway).
     """
     B, S, D = inputs_embeds.shape
     S_max = cache.k.shape[2]
@@ -381,7 +384,7 @@ def prefill(
         and not os.environ.get("MELLOW_TPU_DISABLE_FUSED_ATTN")
     )
     if chunk is None:
-        chunk = 128 if on_tpu else 0
+        chunk = 32 if (on_tpu and B > 128) else 0
     if chunk and B > chunk and B % chunk == 0:
         parts = [
             _prefill_scan(

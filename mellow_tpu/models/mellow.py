@@ -61,7 +61,7 @@ def encode_and_prefix(
     jax.jit,
     static_argnames=(
         "cfg", "max_len", "greedy", "cache_dtype", "stop_token_id",
-        "top_k", "repetition_penalty",
+        "top_k", "repetition_penalty", "prefill_chunk",
     ),
 )
 def generate_tokens(
@@ -81,6 +81,7 @@ def generate_tokens(
     stop_token_id: Optional[int] = None,  # default: cfg.stop_token_id
     top_k: int = 0,
     repetition_penalty: float = 1.0,
+    prefill_chunk: Optional[int] = None,  # 0 under a mesh (wrapper does)
 ) -> gen.GenerateResult:
     """End-to-end: two waveforms + prompt ids -> generated token ids.
     One compiled program: encoder x2, prefix assembly, prefill, decode loop."""
@@ -107,6 +108,7 @@ def generate_tokens(
         # the penalty mask, pad ('!') rows excluded.
         prompt_tokens=text_ids,
         prompt_mask=text_ids != cfg.pad_token_id,
+        prefill_chunk=prefill_chunk,
     )
 
 

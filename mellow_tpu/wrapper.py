@@ -362,6 +362,13 @@ class MellowWrapper:
                 stop_token_id=stop_token_id,
                 top_k=top_k,
                 repetition_penalty=repetition_penalty,
+                **(
+                    # A batch-axis slice under a DP mesh would force
+                    # cross-device gathers; per-device batches are small
+                    # enough there anyway. (gen_fn is always the static
+                    # generate_tokens under a mesh.)
+                    {"prefill_chunk": 0} if self.mesh is not None else {}
+                ),
             )
         return result, B
 
