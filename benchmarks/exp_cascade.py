@@ -5,9 +5,12 @@ The reference decodes until the LAST row finishes (wrapper.py:247-248);
 VERDICT r2 item 4 asks for (a) a measurement of the wasted row-steps on a
 realistic mixed workload and (b) an engine that beats the static batch on
 it. With random weights we cannot script which rows answer short, so the
-mix is induced naturally: stop_token_id is chosen as the most frequent
-token across the batch's greedy streams — many rows then stop early
-(binary-answer analog) while others run to max_len (caption analog). The
+mix is CONSTRUCTED: a no-stop probe run finds the token row 0 emits at
+step 2; that token becomes stop_token_id and half the batch's prefix rows
+are copies of row 0 — greedy decoding is deterministic per row, so those
+rows stop after 3 steps (the binary-AQA analog) while the rest mostly run
+to max_len (the captioning analog). This matches the reference's own task
+mix (1-2-token binary answers batched with ~100-token captions). The
 REPORTED waste is computed from the static run's own per-row stop
 positions, so it is exact for whatever mix materialized.
 
@@ -43,11 +46,15 @@ def main(B=256, max_len=144):
 
     kw = dict(max_len=max_len, greedy=True, cache_dtype="int8")
 
-    # Pick the stop id that maximizes early stopping across rows.
+    # Probe run: the token row 0 emits at step 2 becomes the stop id, and
+    # half the batch becomes copies of row 0 -> a controlled 50% short-
+    # answer mix (greedy decode is deterministic per row).
     r0 = gen.generate(dec, cfg.decoder, prefix, stop_token_id=-1, **kw)
-    toks0 = np.asarray(r0.tokens)
-    vals, counts = np.unique(toks0[:, : max_len // 2], return_counts=True)
-    stop = int(vals[np.argmax(counts)])
+    stop = int(np.asarray(r0.tokens)[0, 2])
+    half = B // 2
+    prefix = jnp.concatenate(
+        [jnp.tile(prefix[:1], (half, 1, 1)), prefix[half:]], axis=0
+    )
 
     def run_static():
         return gen.generate(dec, cfg.decoder, prefix, stop_token_id=stop, **kw)

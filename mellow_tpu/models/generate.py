@@ -467,8 +467,10 @@ def generate_cascade(
             temperature=temperature, top_k=top_k,
             repetition_penalty=repetition_penalty, W=W, alive_threshold=thr,
         )
-        done = np.asarray(state.done)
-        t_final = int(state.t)
+        # ONE host sync per stage: the tunneled chip pays tens of ms per
+        # round-trip, so done/t ride together.
+        done, t_dev = jax.device_get((state.done, state.t))
+        t_final = int(t_dev)
         if t_final >= max_len or done.all():
             break
         alive = np.nonzero(~done)[0]

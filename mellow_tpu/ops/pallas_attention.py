@@ -122,7 +122,10 @@ def _kernel_tri(q_ref, k_ref, v_ref, o_ref, *, H, KV, hd, scale, SP, S_real):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "num_kv_heads", "head_dim", "interpret", "variant"),
+    static_argnames=(
+        "num_heads", "num_kv_heads", "head_dim", "interpret", "variant",
+        "sp_align",
+    ),
 )
 def flash_gqa_prefill(
     q: jax.Array,  # (B, S, H*hd)
@@ -134,6 +137,10 @@ def flash_gqa_prefill(
     head_dim: int,
     interpret: bool = False,
     variant: str = "square",  # measured fastest at SP=512 (vs "tri")
+    sp_align: int = 8,  # VMEM block rows need only sublane (8) alignment:
+    # SP=392 instead of 512 at S=389 skips the dead score rows (measured a
+    # modest 1.073 -> 1.047 ms/layer isolated at B=32 — the lane dim still
+    # pads to 512 so only row work shrinks; "tri" still assumes 128)
 ) -> jax.Array:
     """Causal GQA attention, returns (B, S, H*hd). Pure function of the
     packed projections. No host-side padding: Pallas partial blocks cover
@@ -147,7 +154,9 @@ def flash_gqa_prefill(
     dot). OOB output rows are dropped by the masked partial-block write."""
     B, S, _ = q.shape
     H, KV, hd = num_heads, num_kv_heads, head_dim
-    SP = -(-S // 128) * 128
+    if variant == "tri":
+        sp_align = 128  # _kernel_tri's 128-row query blocks need it
+    SP = -(-S // sp_align) * sp_align
     scale = 1.0 / np.sqrt(hd)
 
     kern = {"tri": _kernel_tri, "square": _kernel}[variant]
