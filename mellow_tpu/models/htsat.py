@@ -283,13 +283,29 @@ def tscam_head(tokens: jax.Array, params: dict, cfg: HTSATConfig) -> dict:
 
     latent = jnp.mean(x.reshape(B, C, -1), axis=-1)  # (B, 768)
 
-    # tscam conv: kernel (527, 768, 2, 3), padding (0, 1) over (cfb, T).
-    w = params["tscam_conv"]["kernel"]
-    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1)))
-    # im2col over the 3-wide time window; cfb dim contracts fully.
-    cols = jnp.stack([xp[..., t : t + x.shape[-1]] for t in range(3)], axis=-1)
-    # cols: (B, C, cfb, T, 3); w: (O, C, cfb, 3)
-    logits_t = jnp.einsum("bcftk,ocfk->bot", cols, w) + params["tscam_conv"]["bias"][None, :, None]
+    # tscam conv: torch kernel (527, 768, 2, 3), padding (0, 1) over
+    # (cfb, T), expressed as an im2col MATMUL over a PRE-FLATTENED
+    # (O, C*cfb*3) parameter. The weight must be stored 2D: a 4D
+    # conv-filter jit parameter gets a strided {1,2,3,0:T(2,128)} layout
+    # conversion from XLA at EVERY call — profiled 14.85 ms of DMA per
+    # encoder pass (~60% of device compute). The 2D matmul RHS keeps its
+    # standard layout and the DMA vanishes (convert_ckpt/init flatten in
+    # the same row-major (c, f, k) minor order the columns use here).
+    w2 = params["tscam_conv"]["kernel"]  # (O, C*cfb*3)
+    xt = jnp.transpose(x, (0, 3, 1, 2))  # (B, T, C, cfb)
+    xtp = jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    cols = jnp.stack(
+        [xtp[:, t : t + xt.shape[1]] for t in range(3)], axis=-1
+    )  # (B, T, C, cfb, 3) — flattens in the same (c, f, k) minor order as w
+    cols2 = cols.reshape(B, xt.shape[1], -1)
+    logits_bt = jax.lax.dot_general(
+        cols2, w2.astype(cols2.dtype), (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, T, O)
+    logits_t = (
+        jnp.transpose(logits_bt, (0, 2, 1)).astype(tokens.dtype)
+        + params["tscam_conv"]["bias"][None, :, None]
+    )
     # (B, 527, 32)
 
     fpx = jax.nn.sigmoid(logits_t)

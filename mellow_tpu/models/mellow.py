@@ -334,7 +334,11 @@ def init_params(rng: jax.Array, cfg: MellowConfig, dtype=jnp.float32):
         "stages": stages,
         "norm": ln(nf),
         "tscam_conv": {
-            "kernel": nrm((nc, nf, 2, 3)),
+            # Stored PRE-FLATTENED (O, C*cfb*3) as the im2col matmul RHS:
+            # a 4D conv-filter parameter gets a strided T(2,128) layout
+            # conversion from XLA at every call (profiled 14.85 ms of DMA
+            # per encoder pass, ~60% of device compute — htsat.tscam_head).
+            "kernel": nrm((nc, nf * 2 * 3)),
             "bias": jnp.zeros((nc,), dtype),
         },
         "head": lin(nc, nc),

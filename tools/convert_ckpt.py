@@ -134,7 +134,11 @@ def convert_htsat(sd, prefix: str = "audio_encoder.base.htsat.") -> dict:
             }
         stages.append(stage)
 
-    tscam_w = g("tscam_conv.weight")  # (527, 768, 2, 3)
+    # (527, 768, 2, 3) -> (527, 768*2*3): stored flattened as the im2col
+    # matmul RHS (row-major (c, f, k) minor order, matching the column
+    # construction in htsat.tscam_head) — a 4D conv-filter param costs a
+    # 14.85 ms strided layout-conversion DMA per encoder pass on TPU.
+    tscam_w = g("tscam_conv.weight").reshape(527, -1)
 
     return {
         "bn0": {
