@@ -157,7 +157,14 @@ def main():
         # them inlines ~28M floats into the serialized HLO and trips the
         # remote-compile request-size limit (CLAUDE.md).
         def body(i, acc):
-            r = htsat.encode_audio(w + acc * 0, p, cfg.frontend, cfg.encoder)
+            # NB: the chaining term must be cast back to w's dtype — a bare
+            # f32 acc promotes the whole wave to f32, silently benchmarking
+            # the f32 encoder with the bf16-gated Pallas window-attention
+            # kernel DISABLED (caught by an r3 in-loop profile; r2's
+            # 1,250 clips/s was that f32 path).
+            r = htsat.encode_audio(
+                w + (acc * 0).astype(w.dtype), p, cfg.frontend, cfg.encoder
+            )
             return jnp.sum(r.astype(jnp.float32)) * 1e-12
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 

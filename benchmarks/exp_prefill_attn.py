@@ -45,7 +45,7 @@ def timed(name, fn, *args, reps=3):
 def scanned(attn_fn):
     def run(q, k, v):
         def body(acc, _):
-            o = attn_fn(q + acc * 0, k, v)
+            o = attn_fn(q + (acc * 0).astype(q.dtype), k, v)
             return jnp.mean(o.astype(jnp.float32)) * 1e-6, None
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=L)
         return acc

@@ -44,7 +44,8 @@ def make_fn(B, chunk):
         def body(i, acc):
             cache = llama.KVCache.create(cfg.decoder, B, S_max, jnp.int8)
             x, c2 = llama.prefill(
-                dec, cfg.decoder, prefix * (1 + acc * 0), cache, chunk=chunk
+                dec, cfg.decoder, prefix + (acc * 0).astype(prefix.dtype), cache,
+                chunk=chunk
             )
             # Consume the WHOLE cache so the write cannot be elided; the
             # ~1.5 ms extra read is identical across variants.

@@ -68,7 +68,7 @@ def bench_melspec(cfg, B: int, reps: int, dtype):
         @jax.jit
         def loop(w, impl=impl):
             def body(i, acc):
-                m = impl(w + acc * 0, cfg.frontend)
+                m = impl(w + (acc * 0).astype(w.dtype), cfg.frontend)
                 return jnp.sum(m.astype(jnp.float32)) * 1e-12
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
@@ -93,7 +93,7 @@ def bench_encoder(cfg, B: int, reps: int, dtype):
     @jax.jit
     def loop(p, w):
         def body(i, acc):
-            r = htsat.encode_audio(w + acc * 0, p, cfg.frontend, cfg.encoder)
+            r = htsat.encode_audio(w + (acc * 0).astype(w.dtype), p, cfg.frontend, cfg.encoder)
             return jnp.sum(r.astype(jnp.float32)) * 1e-12
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
@@ -120,7 +120,7 @@ def bench_prefill(cfg, B: int, reps: int, dtype):
     @jax.jit
     def loop(p, s):
         def body(i, acc):
-            logits = llama.forward(p, cfg.decoder, s + acc * 0)
+            logits = llama.forward(p, cfg.decoder, s + (acc * 0).astype(s.dtype))
             return jnp.sum(logits[:, -1, :].astype(jnp.float32)) * 1e-12
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
