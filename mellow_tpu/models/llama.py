@@ -208,9 +208,20 @@ def _flash_causal_attention(q, k, v):
     return out[:, :S] if pad else out
 
 
+def _deq_weight(w, dtype):
+    """int8 {"q", "scale"} -> dense dtype kernel (for kernels that consume
+    the weight inside a Pallas program; the tiny dequant runs once per
+    layer outside and is fused by XLA)."""
+    if isinstance(w, dict):
+        return (
+            w["q"].astype(jnp.float32) * w["scale"][None, :].astype(jnp.float32)
+        ).astype(dtype)
+    return w
+
+
 def _layer(
     cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None, use_flash=False,
-    use_fused=False,
+    use_fused=False, use_fused_block=False,
 ):
     """One transformer layer.
 
@@ -223,6 +234,31 @@ def _layer(
     """
     B, S, D = x.shape
     H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    if use_fused_block and kv_slot is None:
+        # Whole attention half (pre-norm + qkv + rope + causal GQA + o-proj
+        # + residual) in ONE Pallas program per batch row — removes the
+        # h/q/k/v HBM round-trips and the VPU norm/rope fusion chain that
+        # the per-op profile attributed the remaining prefill MFU gap to
+        # (benchmarks/README.md). int8 weights are dequantized per layer
+        # outside the kernel (negligible; prefill is compute-bound and a
+        # bf16-weight A/B measured no difference).
+        from mellow_tpu.ops.pallas_attn_block import fused_attn_block
+
+        x, kpk, vpk = fused_attn_block(
+            x, lp["ln_attn"],
+            _deq_weight(lp["wq"], x.dtype), _deq_weight(lp["wk"], x.dtype),
+            _deq_weight(lp["wv"], x.dtype), _deq_weight(lp["wo"], x.dtype),
+            cos, sin, num_heads=H, num_kv_heads=KV, head_dim=hd,
+            eps=cfg.rms_norm_eps,
+        )
+        k = kpk.reshape(B, S, KV, hd)
+        v = vpk.reshape(B, S, KV, hd)
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(_mm(h, lp["w_gate"]))
+        up = _mm(h, lp["w_up"])
+        x = x + _mm(gate * up, lp["w_down"])
+        return x, (k, v)
 
     with jax.named_scope("decoder/attn_proj"):
         h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
@@ -317,7 +353,8 @@ def logits_from_hidden(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
     return x @ head.astype(x.dtype)
 
 
-def _prefill_scan(params, cfg: LlamaConfig, inputs_embeds, use_fused):
+def _prefill_scan(params, cfg: LlamaConfig, inputs_embeds, use_fused,
+                  use_fused_block=False):
     """Layer scan over one batch chunk: returns (post-norm last hidden
     (B, D), packed ks/vs (L, B, S, KV*hd))."""
     B, S, D = inputs_embeds.shape
@@ -327,7 +364,8 @@ def _prefill_scan(params, cfg: LlamaConfig, inputs_embeds, use_fused):
     mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
 
     def body(x, lp):
-        x, (k, v) = _layer(cfg, x, lp, cos, sin, mask, use_fused=use_fused)
+        x, (k, v) = _layer(cfg, x, lp, cos, sin, mask, use_fused=use_fused,
+                           use_fused_block=use_fused_block)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(body, inputs_embeds, params["layers"])
@@ -383,6 +421,12 @@ def prefill(
         and S <= 1024  # whole-sequence-in-VMEM design bound
         and not os.environ.get("MELLOW_TPU_DISABLE_FUSED_ATTN")
     )
+    # Opt-in (measurement in progress): whole-attention-half Pallas block
+    # (pallas_attn_block.fused_attn_block). Same trace-time env caveat as
+    # the other kernel knobs.
+    use_fused_block = use_fused and bool(
+        os.environ.get("MELLOW_TPU_FUSED_BLOCK")
+    )
     if chunk is None:
         chunk = 32 if (on_tpu and B > 128) else 0
     if chunk and B > chunk and B % chunk == 0:
@@ -390,7 +434,7 @@ def prefill(
             _prefill_scan(
                 params, cfg,
                 jax.lax.slice_in_dim(inputs_embeds, i * chunk, (i + 1) * chunk, axis=0),
-                use_fused,
+                use_fused, use_fused_block,
             )
             for i in range(B // chunk)
         ]
@@ -398,7 +442,8 @@ def prefill(
         ks = jnp.concatenate([p[1] for p in parts], axis=1)
         vs = jnp.concatenate([p[2] for p in parts], axis=1)
     else:
-        x, ks, vs = _prefill_scan(params, cfg, inputs_embeds, use_fused)
+        x, ks, vs = _prefill_scan(params, cfg, inputs_embeds, use_fused,
+                                  use_fused_block)
     # Pad to the cache's lane-aligned packed dim (see KVCache.packed_dim).
     pad = cache.k.shape[-1] - ks.shape[-1]
     if pad:

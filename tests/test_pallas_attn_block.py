@@ -1,0 +1,54 @@
+"""Fused attention-block kernel (norm+qkv+rope+attn+o+residual) vs the jnp
+oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mellow_tpu.models.llama import rope_tables
+from mellow_tpu.config import LlamaConfig
+from mellow_tpu.ops.pallas_attn_block import (
+    fused_attn_block,
+    reference_attn_block,
+    rotate_half_matrix,
+)
+
+
+def test_rotate_half_matrix():
+    from mellow_tpu.models.llama import _rotate_half
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(5, 3 * 64).astype(np.float32)
+    P = rotate_half_matrix(3, 64)
+    want = _rotate_half(x.reshape(5, 3, 64)).reshape(5, 192)
+    np.testing.assert_allclose(x @ P, want, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "B,S,H,KV,hd,D",
+    [
+        (2, 99, 9, 3, 64, 576),   # partial block
+        (2, 389, 9, 3, 64, 576),  # real SmolLM2 prefill shape
+        (1, 64, 4, 4, 16, 64),    # MHA tiny
+    ],
+)
+def test_matches_oracle_fp32(B, S, H, KV, hd, D):
+    cfg = LlamaConfig()
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(B, S, D) * 0.5, jnp.float32)
+    ln = jnp.asarray(rng.randn(D) * 0.1 + 1.0, jnp.float32)
+    wq = jnp.asarray(rng.randn(D, H * hd) * 0.05, jnp.float32)
+    wk = jnp.asarray(rng.randn(D, KV * hd) * 0.05, jnp.float32)
+    wv = jnp.asarray(rng.randn(D, KV * hd) * 0.05, jnp.float32)
+    wo = jnp.asarray(rng.randn(H * hd, D) * 0.05, jnp.float32)
+    cos_t, sin_t = rope_tables(cfg, S, jnp.float32)
+    cos, sin = jnp.asarray(cos_t[:, :hd]), jnp.asarray(sin_t[:, :hd])
+    kw = dict(num_heads=H, num_kv_heads=KV, head_dim=hd, eps=1e-5)
+    out, k, v = fused_attn_block(
+        x, ln, wq, wk, wv, wo, cos, sin, interpret=True, **kw
+    )
+    ro, rk, rv = reference_attn_block(x, ln, wq, wk, wv, wo, cos, sin, **kw)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(rv), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(rk), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ro), atol=5e-5)
