@@ -421,14 +421,53 @@ def prefill(
         and S <= 1024  # whole-sequence-in-VMEM design bound
         and not os.environ.get("MELLOW_TPU_DISABLE_FUSED_ATTN")
     )
-    # Opt-in (measurement in progress): whole-attention-half Pallas block
-    # (pallas_attn_block.fused_attn_block). Same trace-time env caveat as
-    # the other kernel knobs.
-    use_fused_block = use_fused and bool(
-        os.environ.get("MELLOW_TPU_FUSED_BLOCK")
+    # Whole-attention-half Pallas block (pallas_attn_block.fused_attn_block):
+    # measured 232.5 -> 228.8 ms at the B=256 chunk=32 int8/int8 headline
+    # shape (stable A/B; benchmarks/exp_fused_block.py). Default-on where
+    # the weight working set fits comfortably in VMEM; same trace-time env
+    # caveat as the other kernel knobs.
+    H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    attn_weight_bytes = 2 * D * (2 * H + 2 * KV) * hd + 2 * (
+        (H * hd) ** 2 + (KV * hd) ** 2
+    )  # wq/wk/wv/wo + rope permutation matrices, bf16
+    use_fused_block = (
+        use_fused
+        and attn_weight_bytes < 8 * 1024 * 1024
+        and not os.environ.get("MELLOW_TPU_DISABLE_FUSED_BLOCK")
     )
     if chunk is None:
         chunk = 32 if (on_tpu and B > 128) else 0
+
+    def commit(cache: KVCache, ks, vs, b0: int) -> KVCache:
+        # Pad to the cache's lane-aligned packed dim (KVCache.packed_dim)
+        # and write the batch slab [b0:b0+bs] into the cache buffers.
+        # NOTE: committing per chunk (8x b0=i*32 slab writes instead of
+        # one concat + commit) was measured SLOWER at B=256 (252-258 vs
+        # 228-232 ms prefill): the cache's batch-minor layout makes the
+        # 32-row slab updates strided scatter writes that cost more than
+        # the concat path's full-size quantize + layout copy + pad
+        # (~15 ms, profiled in benchmarks/README.md). Single commit.
+        pad = cache.k.shape[-1] - ks.shape[-1]
+        if pad:
+            ks = jnp.pad(ks, ((0, 0),) * 3 + ((0, pad),))
+            vs = jnp.pad(vs, ((0, 0),) * 3 + ((0, pad),))
+        at4, at3 = (0, b0, 0, 0), (0, b0, 0)
+        if cache.quantized:
+            ks8, ksc = quantize_kv(ks)
+            vs8, vsc = quantize_kv(vs)
+            return KVCache(
+                jax.lax.dynamic_update_slice(cache.k, ks8, at4),
+                jax.lax.dynamic_update_slice(cache.v, vs8, at4),
+                jnp.asarray(S, jnp.int32),
+                jax.lax.dynamic_update_slice(cache.k_scale, ksc, at3),
+                jax.lax.dynamic_update_slice(cache.v_scale, vsc, at3),
+            )
+        return KVCache(
+            jax.lax.dynamic_update_slice(cache.k, ks.astype(cache.k.dtype), at4),
+            jax.lax.dynamic_update_slice(cache.v, vs.astype(cache.v.dtype), at4),
+            jnp.asarray(S, jnp.int32),
+        )
+
     if chunk and B > chunk and B % chunk == 0:
         parts = [
             _prefill_scan(
@@ -444,24 +483,7 @@ def prefill(
     else:
         x, ks, vs = _prefill_scan(params, cfg, inputs_embeds, use_fused,
                                   use_fused_block)
-    # Pad to the cache's lane-aligned packed dim (see KVCache.packed_dim).
-    pad = cache.k.shape[-1] - ks.shape[-1]
-    if pad:
-        ks = jnp.pad(ks, ((0, 0),) * 3 + ((0, pad),))
-        vs = jnp.pad(vs, ((0, 0),) * 3 + ((0, pad),))
-    if cache.quantized:
-        ks8, ksc = quantize_kv(ks)
-        vs8, vsc = quantize_kv(vs)
-        new_k = jax.lax.dynamic_update_slice(cache.k, ks8, (0, 0, 0, 0))
-        new_v = jax.lax.dynamic_update_slice(cache.v, vs8, (0, 0, 0, 0))
-        new_ksc = jax.lax.dynamic_update_slice(cache.k_scale, ksc, (0, 0, 0))
-        new_vsc = jax.lax.dynamic_update_slice(cache.v_scale, vsc, (0, 0, 0))
-        return x, KVCache(
-            new_k, new_v, jnp.asarray(S, jnp.int32), new_ksc, new_vsc
-        )
-    new_k = jax.lax.dynamic_update_slice(cache.k, ks.astype(cache.k.dtype), (0, 0, 0, 0))
-    new_v = jax.lax.dynamic_update_slice(cache.v, vs.astype(cache.v.dtype), (0, 0, 0, 0))
-    return x, KVCache(new_k, new_v, jnp.asarray(S, jnp.int32))
+    return x, commit(cache, ks, vs, 0)
 
 
 def flush_pending(cfg: LlamaConfig, cache: KVCache, pending) -> KVCache:

@@ -85,6 +85,32 @@ def test_prefill_plus_decode_matches_full_forward(small_pair):
         )
 
 
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, jnp.int8])
+def test_chunked_prefill_matches_monolithic(small_pair, cache_dtype):
+    """Batch-chunked prefill (the TPU B>128 path, llama.prefill chunk=)
+    must produce the same hidden AND byte-identical cache contents as the
+    monolithic scan — exercised explicitly on CPU since the auto-dispatch
+    only picks chunking on TPU."""
+    _, params = small_pair
+    rng = np.random.RandomState(3)
+    B, P, S_max = 4, 9, 16
+    prefix = jnp.asarray(rng.randn(B, P, SMALL.hidden_size).astype(np.float32) * 0.1)
+
+    mono_c = llama.KVCache.create(SMALL, B, S_max, cache_dtype)
+    x_mono, c_mono = llama.prefill(params, SMALL, prefix, mono_c, chunk=0)
+    chun_c = llama.KVCache.create(SMALL, B, S_max, cache_dtype)
+    x_chun, c_chun = llama.prefill(params, SMALL, prefix, chun_c, chunk=2)
+
+    np.testing.assert_allclose(np.asarray(x_mono), np.asarray(x_chun), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(c_mono.k), np.asarray(c_chun.k))
+    np.testing.assert_array_equal(np.asarray(c_mono.v), np.asarray(c_chun.v))
+    if c_mono.quantized:
+        np.testing.assert_array_equal(
+            np.asarray(c_mono.k_scale), np.asarray(c_chun.k_scale)
+        )
+    assert int(c_chun.length) == P
+
+
 def test_greedy_generate_token_parity(small_pair):
     import torch
 
