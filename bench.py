@@ -71,33 +71,38 @@ def main():
     s_max = P + LONG
     rng = np.random.RandomState(0)
 
-    def run_decode(dec, B, cache_dtype, prefix, max_len):
+    def run_decode(dec, B, cache_dtype, prefix, max_len, w8a8=False):
         return gen.generate(
             dec, cfg.decoder, prefix,
             max_len=max_len, stop_token_id=-1,  # never fires: fixed-length
-            greedy=True, cache_dtype=cache_dtype,
+            greedy=True, cache_dtype=cache_dtype, w8a8=w8a8,
         )
 
-    def time_decode(dec, B, cache_dtype, prefix, max_len, reps=3):
+    def time_decode(dec, B, cache_dtype, prefix, max_len, w8a8=False, reps=3):
         t0 = time.time()
-        res = run_decode(dec, B, cache_dtype, prefix, max_len)
+        res = run_decode(dec, B, cache_dtype, prefix, max_len, w8a8)
         res.tokens.block_until_ready()
         compile_s = time.time() - t0
         times = []
         for _ in range(reps):
             t0 = time.time()
-            res = run_decode(dec, B, cache_dtype, prefix, max_len)
+            res = run_decode(dec, B, cache_dtype, prefix, max_len, w8a8)
             res.tokens.block_until_ready()
             times.append(time.time() - t0)
         return min(times), compile_s, res
 
     sweep = [
-        # (B, cache_dtype, weight_dtype)  -- weight int8 = quantize_decoder
+        # (B, cache_dtype, weight_dtype)  -- weight int8 = quantize_decoder;
+        # int8-w8a8 additionally quantizes prefill MLP ACTIVATIONS in-kernel
+        # (native int8 MXU dots, ops/pallas_mlp_block.py) — decode is
+        # unchanged (bandwidth-bound; int8 dots measured no faster there).
         (64, "bfloat16", "bfloat16"),
         (64, "int8", "bfloat16"),
         (64, "int8", "int8"),
+        (64, "int8", "int8-w8a8"),
         (128, "int8", "int8"),
         (256, "int8", "int8"),
+        (256, "int8", "int8-w8a8"),
     ]
     results = {}
     best = (0.0, None)
@@ -107,16 +112,20 @@ def main():
             prefixes[B] = jnp.asarray(
                 rng.randn(B, P, cfg.d_proj) * 0.02, dtype
             )
-        dec = dec_int8w if weight_dtype == "int8" else dec_bf16
+        dec = dec_bf16 if weight_dtype == "bfloat16" else dec_int8w
+        w8a8 = weight_dtype == "int8-w8a8"
         key = (B, cache_dtype, weight_dtype)
-        t_short, c1, _ = time_decode(dec, B, cache_dtype, prefixes[B], SHORT)
-        t_long, c2, res = time_decode(dec, B, cache_dtype, prefixes[B], LONG)
+        t_short, c1, _ = time_decode(dec, B, cache_dtype, prefixes[B], SHORT, w8a8)
+        t_long, c2, res = time_decode(dec, B, cache_dtype, prefixes[B], LONG, w8a8)
         log(f"decode{key} compiles: {c1:.1f}s + {c2:.1f}s")
         per_step = (t_long - t_short) / (LONG - SHORT)
         tps = B / per_step
         prefill_s = max(t_short - SHORT * per_step, 1e-9)
         e2e_tps = B * LONG / t_long
-        byts = rf.decode_step_bytes(cfg.decoder, B, s_max, cache_dtype, weight_dtype)
+        byts = rf.decode_step_bytes(
+            cfg.decoder, B, s_max, cache_dtype,
+            "int8" if w8a8 else weight_dtype,  # weights stream int8 either way
+        )
         flops = rf.decode_step_flops(cfg.decoder, B, s_max)
         bw = byts / per_step
         fl = flops / per_step
@@ -142,6 +151,10 @@ def main():
     log(f"quantized-vs-bf16 token agreement: {agree:.3f} "
         f"(first divergent step: {first_div}/{LONG}; random weights — "
         f"real-checkpoint agreement is typically higher)")
+    t_w8 = results[(64, "int8", "int8-w8a8")][1]
+    agree_w8 = float((t_ref == t_w8).mean())
+    log(f"w8a8-vs-bf16 token agreement: {agree_w8:.3f} "
+        f"(w8a8-vs-int8: {float((t_q == t_w8).mean()):.3f}; same caveat)")
 
     # ------------------------------------------------------------------
     # 2) encoder clips/sec/chip

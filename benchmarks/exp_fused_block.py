@@ -3,11 +3,12 @@
 Measures B=256 chunk=32 prefill (the bench headline mode: int8 weights,
 int8 cache) with llama._layer's attention half either as the r2 split
 path (rms_norm + projections + pallas_attention GQA kernel) or the r3
-fused_attn_block kernel (MELLOW_TPU_FUSED_BLOCK=1 — trace-time env, so
-run once per process).
+fused_attn_block kernel (now DEFAULT-ON; disable with
+MELLOW_TPU_DISABLE_FUSED_BLOCK=1 — trace-time env, so run once per
+process). Measured: split 232.5 ms, fused 228.8 ms (stable A/B).
 
-Run: python benchmarks/exp_fused_block.py            # split baseline
-     MELLOW_TPU_FUSED_BLOCK=1 python benchmarks/exp_fused_block.py
+Run: python benchmarks/exp_fused_block.py                         # fused
+     MELLOW_TPU_DISABLE_FUSED_BLOCK=1 python benchmarks/exp_fused_block.py
 """
 
 import os
@@ -36,7 +37,10 @@ B = 256
 
 
 def main():
-    mode = "fused-block" if os.environ.get("MELLOW_TPU_FUSED_BLOCK") else "split"
+    mode = (
+        "split" if os.environ.get("MELLOW_TPU_DISABLE_FUSED_BLOCK")
+        else "fused-block"
+    )
     print(f"devices: {jax.devices()}  mode={mode}", flush=True)
     dtype = jnp.bfloat16
     params = mellow_model.init_params(jax.random.PRNGKey(0), cfg, dtype)

@@ -166,7 +166,7 @@ def _effective_window(flush_window: int, max_len: int, greedy: bool) -> int:
 def _init_state(
     params, cfg, prefix_embeds, *, max_len, cache_dtype, family, W, rng,
     initial_done, repetition_penalty, prompt_tokens, prompt_mask,
-    prefill_chunk=None,
+    prefill_chunk=None, w8a8=False,
 ) -> DecodeState:
     """Prefill + initial decode state (cache.length == P: every prefix
     position is flushed; pending starts empty and is always empty again at
@@ -179,9 +179,11 @@ def _init_state(
     cache = ops.create_cache(cfg, B, P + ML, jnp.dtype(cache_dtype))
     if family == "llama":
         hidden, cache = ops.prefill(
-            params, cfg, prefix_embeds, cache, chunk=prefill_chunk
+            params, cfg, prefix_embeds, cache, chunk=prefill_chunk, w8a8=w8a8
         )
     else:
+        if w8a8:
+            raise ValueError("w8a8 prefill is llama-family only")
         hidden, cache = ops.prefill(params, cfg, prefix_embeds, cache)
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -273,6 +275,7 @@ def _decode_loop(
     static_argnames=(
         "cfg", "max_len", "stop_token_id", "greedy", "cache_dtype", "family",
         "flush_window", "top_k", "repetition_penalty", "prefill_chunk",
+        "w8a8",
     ),
 )
 def generate(
@@ -296,6 +299,7 @@ def generate(
     # repetition-penalty mask (HF penalizes prompt + generated tokens)
     prompt_mask: Optional[jax.Array] = None,  # (B, T) bool: real (non-pad)
     prefill_chunk: Optional[int] = None,  # llama.prefill batch chunking
+    w8a8: bool = False,  # W8A8 prefill MLP (llama + int8 weights only)
 ) -> GenerateResult:
     """``flush_window`` (W): decode steps per KV-cache flush. The per-step
     cache scatter is RMW-tile bound — writing W rows costs the same as one
@@ -313,7 +317,7 @@ def generate(
         params, cfg, prefix_embeds, max_len=max_len, cache_dtype=cache_dtype,
         family=family, W=W, rng=rng, initial_done=initial_done,
         repetition_penalty=repetition_penalty, prompt_tokens=prompt_tokens,
-        prompt_mask=prompt_mask, prefill_chunk=prefill_chunk,
+        prompt_mask=prompt_mask, prefill_chunk=prefill_chunk, w8a8=w8a8,
     )
     final = _decode_loop(
         params, cfg, state, family=family, max_len=max_len,
@@ -331,18 +335,19 @@ def generate(
     jax.jit,
     static_argnames=(
         "cfg", "max_len", "cache_dtype", "family", "W", "repetition_penalty",
-        "prefill_chunk",
+        "prefill_chunk", "w8a8",
     ),
 )
 def _cascade_prefill(
     params, cfg, prefix_embeds, rng, initial_done, prompt_tokens, prompt_mask,
     *, max_len, cache_dtype, family, W, repetition_penalty, prefill_chunk,
+    w8a8=False,
 ) -> DecodeState:
     return _init_state(
         params, cfg, prefix_embeds, max_len=max_len, cache_dtype=cache_dtype,
         family=family, W=W, rng=rng, initial_done=initial_done,
         repetition_penalty=repetition_penalty, prompt_tokens=prompt_tokens,
-        prompt_mask=prompt_mask, prefill_chunk=prefill_chunk,
+        prompt_mask=prompt_mask, prefill_chunk=prefill_chunk, w8a8=w8a8,
     )
 
 
@@ -411,6 +416,7 @@ def generate_cascade(
     prompt_tokens: Optional[jax.Array] = None,
     prompt_mask: Optional[jax.Array] = None,
     prefill_chunk: Optional[int] = None,
+    w8a8: bool = False,
     min_batch: int = 32,
 ) -> GenerateResult:
     """Cascade decode: reclaim the dead compute of finished rows.
@@ -454,6 +460,7 @@ def generate_cascade(
         prompt_tokens if repetition_penalty != 1.0 else None, prompt_mask,
         max_len=max_len, cache_dtype=cache_dtype, family=family, W=W,
         repetition_penalty=repetition_penalty, prefill_chunk=prefill_chunk,
+        w8a8=w8a8,
     )
 
     out_tokens = np.zeros((B, ML), np.int32)

@@ -219,9 +219,45 @@ def _deq_weight(w, dtype):
     return w
 
 
+def _mlp_half(cfg: LlamaConfig, x, lp, mlp_mode: int = 0):
+    """MLP half of a layer: x + down(silu(gate(norm(x))) * up(norm(x))).
+
+    mlp_mode 0: XLA path. 1: fused Pallas MLP block (norm+residual inside
+    the program — benchmarks/exp_mlp_block.py: 0.543 vs 0.567 ms/layer).
+    2: W8A8 — int8 weights resident + in-kernel per-row activation quant
+    driving native int8 MXU dots (0.439 ms/layer, the raw int8 dot being
+    1.51x bf16 at prefill shapes, exp_w8a8_prefill.py). Mode 2 requires
+    quantized weight dicts and is a further lossy step beyond weight-only
+    int8 (rel. Frobenius error ~3% per block on random weights)."""
+    if mlp_mode == 2 and isinstance(lp["w_gate"], dict):
+        from mellow_tpu.ops.pallas_mlp_block import fused_mlp_block_w8a8
+
+        return fused_mlp_block_w8a8(
+            x, lp["ln_mlp"],
+            lp["w_gate"]["q"], lp["w_gate"]["scale"],
+            lp["w_up"]["q"], lp["w_up"]["scale"],
+            lp["w_down"]["q"], lp["w_down"]["scale"],
+            eps=cfg.rms_norm_eps,
+        )
+    if mlp_mode:
+        from mellow_tpu.ops.pallas_mlp_block import fused_mlp_block
+
+        return fused_mlp_block(
+            x, lp["ln_mlp"],
+            _deq_weight(lp["w_gate"], x.dtype),
+            _deq_weight(lp["w_up"], x.dtype),
+            _deq_weight(lp["w_down"], x.dtype),
+            eps=cfg.rms_norm_eps,
+        )
+    h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+    gate = jax.nn.silu(_mm(h, lp["w_gate"]))
+    up = _mm(h, lp["w_up"])
+    return x + _mm(gate * up, lp["w_down"])
+
+
 def _layer(
     cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None, use_flash=False,
-    use_fused=False, use_fused_block=False,
+    use_fused=False, use_fused_block=False, mlp_mode=0,
 ):
     """One transformer layer.
 
@@ -254,11 +290,7 @@ def _layer(
         )
         k = kpk.reshape(B, S, KV, hd)
         v = vpk.reshape(B, S, KV, hd)
-        h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(_mm(h, lp["w_gate"]))
-        up = _mm(h, lp["w_up"])
-        x = x + _mm(gate * up, lp["w_down"])
-        return x, (k, v)
+        return _mlp_half(cfg, x, lp, mlp_mode), (k, v)
 
     with jax.named_scope("decoder/attn_proj"):
         h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
@@ -305,12 +337,7 @@ def _layer(
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         o = jnp.einsum("bhrqk,bkhd->bqhrd", attn, v_att).reshape(B, S, H * hd)
     x = x + _mm(o, lp["wo"])
-
-    h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(_mm(h, lp["w_gate"]))
-    up = _mm(h, lp["w_up"])
-    x = x + _mm(gate * up, lp["w_down"])
-    return x, (k, v)
+    return _mlp_half(cfg, x, lp, mlp_mode), (k, v)
 
 
 def forward(
@@ -354,7 +381,7 @@ def logits_from_hidden(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
 
 
 def _prefill_scan(params, cfg: LlamaConfig, inputs_embeds, use_fused,
-                  use_fused_block=False):
+                  use_fused_block=False, mlp_mode=0):
     """Layer scan over one batch chunk: returns (post-norm last hidden
     (B, D), packed ks/vs (L, B, S, KV*hd))."""
     B, S, D = inputs_embeds.shape
@@ -365,7 +392,7 @@ def _prefill_scan(params, cfg: LlamaConfig, inputs_embeds, use_fused,
 
     def body(x, lp):
         x, (k, v) = _layer(cfg, x, lp, cos, sin, mask, use_fused=use_fused,
-                           use_fused_block=use_fused_block)
+                           use_fused_block=use_fused_block, mlp_mode=mlp_mode)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(body, inputs_embeds, params["layers"])
@@ -386,6 +413,7 @@ def prefill(
     inputs_embeds: jax.Array,
     cache: KVCache,
     chunk: Optional[int] = None,
+    w8a8: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Run the prefix through the model, filling the cache.
 
@@ -402,6 +430,13 @@ def prefill(
     0 disables (sharded runs: a slice along the DP-sharded batch axis
     would force cross-device gathers — the wrapper passes 0 when a mesh is
     active, where per-device batches are small anyway).
+
+    ``w8a8``: with int8-quantized weights, run the prefill MLP halves as
+    W8A8 — in-kernel per-row int8 activation quantization driving native
+    int8 MXU dots (ops/pallas_mlp_block.py). Measured B=256 chunk=32
+    int8/int8 prefill: 229 -> 199 ms (benchmarks/exp_fused_block.py). A
+    further lossy step beyond weight-only int8, hence opt-in; bench.py
+    reports its token-agreement alongside the int8 modes.
     """
     B, S, D = inputs_embeds.shape
     S_max = cache.k.shape[2]
@@ -435,6 +470,25 @@ def prefill(
         and attn_weight_bytes < 8 * 1024 * 1024
         and not os.environ.get("MELLOW_TPU_DISABLE_FUSED_BLOCK")
     )
+    # Fused MLP block (ops/pallas_mlp_block.py): norm + gate/up/down +
+    # residual in one VMEM-resident program. Mode 1 (bf16) is default-on
+    # under the same gates as the attention block (0.543 vs 0.567 ms/layer,
+    # benchmarks/exp_mlp_block.py). Mode 2 (W8A8: in-kernel per-row int8
+    # activation quant driving native int8 MXU dots, 0.439 ms/layer) is a
+    # further lossy step beyond weight-only int8, so it is OPT-IN via
+    # MELLOW_TPU_W8A8=1 and requires int8-quantized weights. Trace-time
+    # env reads, same caveat as the other kernel knobs.
+    mlp_weight_bytes = 2 * 3 * D * cfg.intermediate_size
+    use_fused_mlp = (
+        use_fused
+        and mlp_weight_bytes < 12 * 1024 * 1024
+        and not os.environ.get("MELLOW_TPU_DISABLE_FUSED_MLP")
+    )
+    quantized_w = isinstance(params["layers"]["w_gate"], dict)
+    w8a8 = w8a8 or bool(os.environ.get("MELLOW_TPU_W8A8"))
+    mlp_mode = 0
+    if use_fused_mlp:
+        mlp_mode = 2 if (quantized_w and w8a8) else 1
     if chunk is None:
         chunk = 32 if (on_tpu and B > 128) else 0
 
@@ -473,7 +527,7 @@ def prefill(
             _prefill_scan(
                 params, cfg,
                 jax.lax.slice_in_dim(inputs_embeds, i * chunk, (i + 1) * chunk, axis=0),
-                use_fused, use_fused_block,
+                use_fused, use_fused_block, mlp_mode,
             )
             for i in range(B // chunk)
         ]
@@ -482,7 +536,7 @@ def prefill(
         vs = jnp.concatenate([p[2] for p in parts], axis=1)
     else:
         x, ks, vs = _prefill_scan(params, cfg, inputs_embeds, use_fused,
-                                  use_fused_block)
+                                  use_fused_block, mlp_mode)
     return x, commit(cache, ks, vs, 0)
 
 

@@ -61,7 +61,7 @@ def encode_and_prefix(
     jax.jit,
     static_argnames=(
         "cfg", "max_len", "greedy", "cache_dtype", "stop_token_id",
-        "top_k", "repetition_penalty", "prefill_chunk",
+        "top_k", "repetition_penalty", "prefill_chunk", "w8a8",
     ),
 )
 def generate_tokens(
@@ -82,6 +82,7 @@ def generate_tokens(
     top_k: int = 0,
     repetition_penalty: float = 1.0,
     prefill_chunk: Optional[int] = None,  # 0 under a mesh (wrapper does)
+    w8a8: bool = False,  # W8A8 prefill MLP (llama + int8 weights only)
 ) -> gen.GenerateResult:
     """End-to-end: two waveforms + prompt ids -> generated token ids.
     One compiled program: encoder x2, prefix assembly, prefill, decode loop."""
@@ -109,6 +110,7 @@ def generate_tokens(
         prompt_tokens=text_ids,
         prompt_mask=text_ids != cfg.pad_token_id,
         prefill_chunk=prefill_chunk,
+        w8a8=w8a8,
     )
 
 
@@ -134,6 +136,8 @@ def generate_tokens_dynamic(
     stop_token_id: Optional[int] = None,
     top_k: int = 0,
     repetition_penalty: float = 1.0,
+    prefill_chunk: Optional[int] = None,
+    w8a8: bool = False,
     min_batch: int = 32,
 ) -> gen.GenerateResult:
     """``generate_tokens`` with cascade batch compaction: finished rows stop
@@ -160,6 +164,8 @@ def generate_tokens_dynamic(
         repetition_penalty=repetition_penalty,
         prompt_tokens=text_ids,
         prompt_mask=text_ids != cfg.pad_token_id,
+        prefill_chunk=prefill_chunk,
+        w8a8=w8a8,
         min_batch=min_batch,
     )
 

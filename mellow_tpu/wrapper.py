@@ -65,7 +65,10 @@ class MellowWrapper:
         tokenizer=None,
         compute_dtype: Optional[str] = None,
         weight_dtype: Optional[str] = None,  # "int8": quantize decoder
-        # matmul weights (perf mode, ~halves decode HBM traffic)
+        # matmul weights (perf mode, ~halves decode HBM traffic).
+        # "int8-w8a8": additionally run the prefill MLP halves as W8A8
+        # (in-kernel int8 activation quant, native int8 MXU dots — a
+        # further lossy step; llama family only, measured -13% prefill)
         use_native_audio: Optional[bool] = None,  # None = auto-detect
         mesh=None,  # jax.sharding.Mesh for multi-chip data-parallel inference
     ):
@@ -97,7 +100,10 @@ class MellowWrapper:
 
         self.mesh = mesh
         self.params = self._load_params(model, params_path, params)
-        if weight_dtype == "int8":
+        self._w8a8 = weight_dtype == "int8-w8a8"
+        if self._w8a8 and self.cfg.decoder_family != "llama":
+            raise ValueError("weight_dtype 'int8-w8a8' is llama-family only")
+        if weight_dtype in ("int8", "int8-w8a8"):
             if self.cfg.decoder_family == "llama":
                 from mellow_tpu.models.llama import quantize_decoder as _q
             else:
@@ -362,6 +368,7 @@ class MellowWrapper:
                 stop_token_id=stop_token_id,
                 top_k=top_k,
                 repetition_penalty=repetition_penalty,
+                w8a8=self._w8a8,
                 **(
                     # A batch-axis slice under a DP mesh would force
                     # cross-device gathers; per-device batches are small
