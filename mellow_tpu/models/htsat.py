@@ -178,6 +178,53 @@ def swin_block(
         window_size = min(H, W)
         shift = 0
 
+    # Whole-block fused Pallas path (ops/pallas_swin_block.py): LN1 + qkv
+    # + window attention + proj + residual + LN2 + MLP + residual in ONE
+    # VMEM-resident program — the activation touches HBM once each way
+    # instead of the ~6 padded (C=96 -> 128 lane) round-trips the XLA
+    # formulation pays per block (profile_encoder.py). Eval/bf16 only;
+    # the SW-MSA rolls stay in XLA (wrap-around isn't a block index map).
+    # Same kill switch as every fused attention (MELLOW_TPU_DISABLE_FUSED
+    # _ATTN); stage 4 (C=768) exceeds the VMEM budget and keeps XLA.
+    import os
+
+    from mellow_tpu.ops.pallas_swin_block import (
+        fused_block_vmem_bytes,
+        swin_block_fused,
+    )
+
+    if (
+        x.dtype == jnp.bfloat16
+        and jax.default_backend() in ("tpu", "axon")
+        and (drop_path_rate == 0.0 or rng is None)
+        and fused_block_vmem_bytes(C, num_heads, window_size, H) <= (10 << 20)
+        and not os.environ.get("MELLOW_TPU_DISABLE_FUSED_ATTN")
+    ):
+        N = window_size * window_size
+        idx = relative_position_index(window_size)
+        bias = p["rel_bias_table"][idx.reshape(-1)].reshape(N, N, num_heads)
+        bias_h = jnp.transpose(bias, (2, 0, 1)).reshape(num_heads * N, N)
+        mask = (
+            shifted_window_mask(H, window_size, shift) if shift > 0 else None
+        )
+        x4 = x.reshape(B, H, W, C)
+        if shift > 0:
+            x4 = jnp.roll(x4, shift=(-shift, -shift), axis=(1, 2))
+        out = swin_block_fused(
+            x4,
+            p["norm1"]["scale"], p["norm1"]["bias"],
+            p["qkv"]["kernel"], p["qkv"]["bias"],
+            p["proj"]["kernel"], p["proj"]["bias"],
+            p["norm2"]["scale"], p["norm2"]["bias"],
+            p["fc1"]["kernel"], p["fc1"]["bias"],
+            p["fc2"]["kernel"], p["fc2"]["bias"],
+            bias_h, mask,
+            num_heads=num_heads, window_size=window_size,
+        )
+        if shift > 0:
+            out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
+        return out.reshape(B, L, C)
+
     shortcut = x
     x = layer_norm(x, p["norm1"])
     x = x.reshape(B, H, W, C)

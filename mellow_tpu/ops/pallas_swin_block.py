@@ -1,0 +1,197 @@
+"""Fused Pallas Swin BLOCK: LN1 + qkv + window attention + proj +
+residual + LN2 + MLP(erf-gelu) + residual, one VMEM-resident program per
+row of windows.
+
+Why: after the r2 window-attention kernel, the B=32 encoder profile
+(benchmarks/profile_encoder.py) still shows ~0.78 ms/block LayerNorm
+fusions and ~0.77 ms/block residual-add fusions at stage-1 geometry
+(32, 4096, 96) — pure HBM round-trips of an activation whose 96-wide
+channel dim pads to the 128-lane tile (33% wasted bytes every pass) —
+plus the window partition/reverse layout copies and the qkv-bias
+broadcast pass. One whole-block program reads the activation ONCE and
+writes it once; everything between lives in VMEM:
+
+  * the window grid maps straight onto the BlockSpec index map — each
+    program gets one (ws, R, C) row of windows from the (B, R, R, C)
+    tensor, so window_partition / window_reverse never materialize;
+  * attention reuses the r2 block-diagonal-query trick (one (H*N, C) @
+    (C, N) score matmul, no sub-128-lane head tensors) with in-kernel
+    fp32 softmax, relative-position bias and the per-window shifted
+    mask selected by program/window index;
+  * the only XLA ops left per block are the two jnp.rolls of the
+    SHIFTED blocks (a wrap-around permutation is not expressible as a
+    block index map).
+
+Semantics mirrored 1:1 from models/htsat.swin_block (reference:
+mellow/model/htsat.py:414-455 — pre-LN W-MSA/SW-MSA with relative
+position bias, additive -100 mask, exact-erf GELU MLP, LayerNorm with
+mean subtraction). Eval path only (drop_path identity); bf16 perf mode
+on TPU — fp32 parity mode and training keep the XLA formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref, mask_ref,
+    out_ref, o_scr,
+    *, H, C, N, ws, nWw, n_mask, eps, scale,
+):
+    f32 = jnp.float32
+    T = ws * nWw * ws  # tokens in this row of windows
+    x = x_ref[0].reshape(T, C)  # (ws, R, C) -> flat tokens
+    dt = x.dtype
+
+    def ln(v, s_ref, b_ref):
+        vf = v.astype(f32)
+        mu = jnp.mean(vf, axis=1, keepdims=True)
+        d = vf - mu
+        var = jnp.mean(d * d, axis=1, keepdims=True)
+        return (
+            d * jax.lax.rsqrt(var + eps) * s_ref[...].astype(f32)
+            + b_ref[...].astype(f32)
+        ).astype(dt)
+
+    def mm(a, w_ref, b_ref):
+        y = jax.lax.dot_general(
+            a, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        return (y + b_ref[...].astype(f32)).astype(dt)
+
+    qkv = mm(ln(x, ln1s_ref, ln1b_ref), wqkv_ref, bqkv_ref)  # (T, 3C)
+    qkv = qkv.reshape(ws, nWw, ws, 3 * C)
+
+    # Block-diagonal lane mask (loop-invariant): row (h*N + n) keeps only
+    # head h's lanes — all heads' scores in ONE (H*N, C) @ (C, N) matmul.
+    hd = C // H
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H * N, C), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (H * N, C), 1)
+    blockmask = (rows // N) == (lanes // hd)
+    zero = jnp.zeros((H * N, C), f32)
+
+    for j in range(nWw):
+        w = qkv[:, j].reshape(N, 3 * C)
+        q = w[:, :C] * jnp.asarray(scale, dt)
+        k = w[:, C : 2 * C]
+        v = w[:, 2 * C :]
+        q_rep = jnp.concatenate([q] * H, axis=0)  # (H*N, C)
+        q_bd = jnp.where(blockmask, q_rep, zero.astype(dt))
+        s = jax.lax.dot_general(
+            q_bd, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )  # (H*N, N)
+        s = s + bias_ref[...]
+        if n_mask:
+            widx = pl.program_id(1) * nWw + j
+            m = mask_ref[widx]  # (N, N) fp32
+            s = s + jnp.concatenate([m] * H, axis=0)
+        m_row = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m_row)
+        p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(dt)
+        o_bd = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )  # (H*N, C)
+        o = jnp.sum(jnp.where(blockmask, o_bd, zero).reshape(H, N, C), axis=0)
+        o_scr[:, j] = o.astype(dt).reshape(ws, ws, C)
+
+    o_flat = o_scr[...].reshape(T, C)
+    x1 = x + mm(o_flat, wproj_ref, bproj_ref)  # attention residual
+    # GELU: htsat.gelu is the exact-erf torch form, but Mosaic has no erf
+    # lowering (NotImplementedError: KernelType.TC erf) — use the tanh
+    # approximation in-kernel. Its max abs error (~3e-4) is an order
+    # below the bf16 rounding (~4e-3) this perf-mode path already
+    # carries; fp32 parity mode keeps the XLA exact-erf formulation.
+    g = mm(ln(x1, ln2s_ref, ln2b_ref), w1_ref, b1_ref).astype(f32)
+    c = np.float32(0.7978845608028654)  # sqrt(2/pi)
+    h = 0.5 * g * (1.0 + jnp.tanh(c * (g + np.float32(0.044715) * g * g * g)))
+    h = h.astype(dt)
+    out = x1 + mm(h, w2_ref, b2_ref)
+    out_ref[0] = out.reshape(ws, nWw * ws, C)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "window_size", "eps", "interpret"),
+)
+def swin_block_fused(
+    x: jax.Array,  # (B, R, R, C) — post-roll (SW-MSA) activation
+    ln1_scale, ln1_bias,
+    w_qkv, b_qkv,  # (C, 3C), (3C,)
+    w_proj, b_proj,  # (C, C), (C,)
+    ln2_scale, ln2_bias,
+    w_fc1, b_fc1,  # (C, 4C), (4C,)
+    w_fc2, b_fc2,  # (4C, C), (C,)
+    bias: jax.Array,  # (H*N, N) fp32 relative-position bias, head-major rows
+    mask,  # (nW, N, N) fp32 shifted-window mask, or None
+    *,
+    num_heads: int,
+    window_size: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns (B, R, R, C): the full Swin block output (both residuals
+    applied). Caller handles the shift roll/unroll and (B, L, C) views."""
+    B, R, R2, C = x.shape
+    assert R == R2 and R % window_size == 0
+    ws = window_size
+    N = ws * ws
+    nWw = R // ws
+    H = num_heads
+    scale = np.float32((C // H) ** -0.5)
+    n_mask = 0 if mask is None else mask.shape[0]
+    mask_in = (
+        jnp.zeros((1, N, N), jnp.float32)
+        if mask is None
+        else jnp.asarray(mask, jnp.float32)
+    )
+
+    V = pltpu.VMEM
+    whole = [pl.BlockSpec(memory_space=V)] * 12
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, H=H, C=C, N=N, ws=ws, nWw=nWw, n_mask=n_mask,
+            eps=np.float32(eps), scale=scale,
+        ),
+        grid=(B, nWw),
+        in_specs=[
+            pl.BlockSpec((1, ws, R, C), lambda b, i: (b, i, 0, 0), memory_space=V),
+            *whole,
+            pl.BlockSpec(memory_space=V),  # bias
+            pl.BlockSpec(memory_space=V),  # mask
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ws, R, C), lambda b, i: (b, i, 0, 0), memory_space=V
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, R, R, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((ws, nWw, ws, C), x.dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * R * R * C * (3 * C + C + 8 * C + 2 * 2 * N),
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=B * R * R * (4 * C + N * H),
+        ),
+    )(
+        x, ln1_scale, ln1_bias, w_qkv, b_qkv, w_proj, b_proj,
+        ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+        jnp.asarray(bias, jnp.float32), mask_in,
+    )
+    return out
+
+
+def fused_block_vmem_bytes(C: int, num_heads: int, ws: int, R: int) -> int:
+    """Rough VMEM budget for the gate: weights + bias/mask + block
+    activations (x, qkv, mlp hidden, out, scratch)."""
+    N = ws * ws
+    weights = 2 * (C * 3 * C + C * C + 2 * C * 4 * C)
+    bias = 4 * num_heads * N * N + 4 * (R // ws) ** 2 * N * N
+    acts = 2 * ws * R * C * (1 + 3 + 4 + 1 + 1) * 2  # fp32 temps headroom
+    return weights + bias + acts
