@@ -140,12 +140,56 @@ def _sample_token(
     return jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
 
 
+def _fused_decode_auto(
+    cfg, family: str, dtype, cache_dtype: str, B: int, S_total: int, W: int
+) -> bool:
+    """Gate for the packed-cache fused Pallas decode path
+    (llama.decode_step_packed): llama family, bf16 compute on TPU, bf16
+    cache, kernel VMEM footprint within budget.
+
+    bf16-cache only by measurement (v5e-1, steady-state slope): the bf16
+    cache stream is bandwidth-bound, and the packed layout's 25% byte cut
+    wins — B=64: 26.2k -> 29.0k tok/s (+10%). int8 decode is COMPUTE-bound
+    (skinny M=16 dots; the kernel module docstring has the full history),
+    and the kernel measured at best a tie (5.27 ms/step both) and lost
+    after the flat-layout change (5.91 vs 5.27 at B=256) — the einsum
+    path keeps int8. Override per-call with ``fused_decode=True``.
+
+    Kill switches: MELLOW_TPU_DISABLE_FUSED_ATTN (global, advisor r2) and
+    MELLOW_TPU_DISABLE_FUSED_DECODE (this path only); tests force it on
+    CPU with MELLOW_TPU_FORCE_FUSED_DECODE=interpret (trace-time reads,
+    same jit-cache caveat as the other kernel knobs)."""
+    import os
+
+    if family != "llama":
+        return False
+    if os.environ.get("MELLOW_TPU_DISABLE_FUSED_ATTN") or os.environ.get(
+        "MELLOW_TPU_DISABLE_FUSED_DECODE"
+    ):
+        return False
+    forced = bool(os.environ.get("MELLOW_TPU_FORCE_FUSED_DECODE"))
+    if not forced and not (
+        jax.default_backend() in ("tpu", "axon") and dtype == jnp.bfloat16
+    ):
+        return False
+    if jnp.dtype(cache_dtype) not in (jnp.int8, jnp.bfloat16, jnp.float32):
+        return False
+    if not forced and jnp.dtype(cache_dtype) != jnp.bfloat16:
+        return False  # int8: einsum measured faster; fp32: parity mode
+    from mellow_tpu.ops.pallas_decode_attention import vmem_bytes
+
+    S8 = -(-S_total // 8) * 8
+    P2 = llama.PackedKVCache.packed_dim(cfg)
+    itemsize = jnp.dtype(cache_dtype).itemsize
+    return vmem_bytes(B, S8, P2, max(W, 8), itemsize) <= 14 * 1024 * 1024
+
+
 class DecodeState(NamedTuple):
     """Decode while_loop state. Also the unit the cascade driver
     (``generate_cascade``) compacts between stages — every per-row field
     keeps batch as its leading axis (cache batch axis is 1)."""
 
-    cache: KVCache  # or GPT2Cache
+    cache: KVCache  # or GPT2Cache / llama.PackedKVCache
     tokens: jax.Array  # (B, ML)
     last_hidden: jax.Array  # (B, D)
     t: jax.Array  # scalar int32, multiple of W
@@ -166,7 +210,7 @@ def _effective_window(flush_window: int, max_len: int, greedy: bool) -> int:
 def _init_state(
     params, cfg, prefix_embeds, *, max_len, cache_dtype, family, W, rng,
     initial_done, repetition_penalty, prompt_tokens, prompt_mask,
-    prefill_chunk=None, w8a8=False,
+    prefill_chunk=None, w8a8=False, fused_decode=False,
 ) -> DecodeState:
     """Prefill + initial decode state (cache.length == P: every prefix
     position is flushed; pending starts empty and is always empty again at
@@ -176,7 +220,10 @@ def _init_state(
     ops = get_decoder_ops(family)
     B, P, D = prefix_embeds.shape
     ML = -(-max_len // W) * W  # token buffer rounded up to whole windows
-    cache = ops.create_cache(cfg, B, P + ML, jnp.dtype(cache_dtype))
+    if fused_decode:
+        cache = llama.PackedKVCache.create(cfg, B, P + ML, jnp.dtype(cache_dtype))
+    else:
+        cache = ops.create_cache(cfg, B, P + ML, jnp.dtype(cache_dtype))
     if family == "llama":
         hidden, cache = ops.prefill(
             params, cfg, prefix_embeds, cache, chunk=prefill_chunk, w8a8=w8a8
@@ -220,11 +267,25 @@ def _decode_loop(
 
     ops = get_decoder_ops(family)
     dtype = state.last_hidden.dtype
-    S_max = state.cache.k.shape[2]
+    packed = isinstance(state.cache, llama.PackedKVCache)
+    S_max = (state.cache.kv if packed else state.cache.k).shape[2]
 
     if family == "llama":
         cos_np, sin_np = llama.rope_tables(cfg, S_max, dtype)
         cos_full, sin_full = jnp.asarray(cos_np), jnp.asarray(sin_np)
+
+        if packed:
+            import os
+
+            interp = (
+                os.environ.get("MELLOW_TPU_FORCE_FUSED_DECODE") == "interpret"
+            )
+
+            def step_packed(tok_embed, cache, extras, i):
+                return llama.decode_step_packed(
+                    params, cfg, tok_embed, cache, cos_full, sin_full,
+                    extras, i, interpret=interp,
+                )
 
         def step(tok_embed, cache, pending):
             return llama.decode_step(
@@ -247,6 +308,15 @@ def _decode_loop(
             s.cache, s.tokens, s.last_hidden, s.done, s.rng
         )
         pending = None
+        if packed:
+            # The window's un-flushed k/v rows live in ONE fixed buffer
+            # the fused kernel consumes (llama.decode_step_packed) — no
+            # growing per-entry pending machinery.
+            pending = jnp.zeros(
+                (cfg.num_layers, tokens.shape[0], W,
+                 llama.PackedKVCache.packed_dim(cfg)),
+                dtype,
+            )
         for i in range(W):  # static unroll: pending grows 0 -> W entries
             logits = ops.logits_from_hidden(params, cfg, hidden)
             step_rng, rng = jax.random.split(rng)
@@ -261,8 +331,14 @@ def _decode_loop(
             )
             done = jnp.logical_or(done, next_tok == stop_token_id)
             tok_embed = embed_table[next_tok].astype(dtype)  # (B, D)
-            hidden, cache, pending = step(tok_embed, cache, pending)
-        cache = ops.flush_pending(cfg, cache, pending)
+            if packed:
+                hidden, pending = step_packed(tok_embed, cache, pending, i)
+            else:
+                hidden, cache, pending = step(tok_embed, cache, pending)
+        if packed:
+            cache = llama.flush_packed(cfg, cache, pending, W)
+        else:
+            cache = ops.flush_pending(cfg, cache, pending)
         return DecodeState(
             cache, tokens, hidden, s.t + W, done, rng, s.prompt_seen
         )
@@ -275,7 +351,7 @@ def _decode_loop(
     static_argnames=(
         "cfg", "max_len", "stop_token_id", "greedy", "cache_dtype", "family",
         "flush_window", "top_k", "repetition_penalty", "prefill_chunk",
-        "w8a8",
+        "w8a8", "fused_decode",
     ),
 )
 def generate(
@@ -300,6 +376,9 @@ def generate(
     prompt_mask: Optional[jax.Array] = None,  # (B, T) bool: real (non-pad)
     prefill_chunk: Optional[int] = None,  # llama.prefill batch chunking
     w8a8: bool = False,  # W8A8 prefill MLP (llama + int8 weights only)
+    fused_decode: Optional[bool] = None,  # packed-cache Pallas decode
+    # (None = auto: llama + bf16-on-TPU + int8/bf16 cache; sharded runs
+    # pass False — the custom call does not partition under a mesh)
 ) -> GenerateResult:
     """``flush_window`` (W): decode steps per KV-cache flush. The per-step
     cache scatter is RMW-tile bound — writing W rows costs the same as one
@@ -313,11 +392,18 @@ def generate(
     wrapper.py:247-254); int8 caches see slightly HIGHER fidelity for the
     trailing window (pending rides unquantized)."""
     W = _effective_window(flush_window, max_len, greedy)
+    B, P, _ = prefix_embeds.shape
+    if fused_decode is None:
+        fused_decode = _fused_decode_auto(
+            cfg, family, prefix_embeds.dtype, cache_dtype, B,
+            P + -(-max_len // W) * W, W,
+        )
     state = _init_state(
         params, cfg, prefix_embeds, max_len=max_len, cache_dtype=cache_dtype,
         family=family, W=W, rng=rng, initial_done=initial_done,
         repetition_penalty=repetition_penalty, prompt_tokens=prompt_tokens,
         prompt_mask=prompt_mask, prefill_chunk=prefill_chunk, w8a8=w8a8,
+        fused_decode=fused_decode,
     )
     final = _decode_loop(
         params, cfg, state, family=family, max_len=max_len,
@@ -335,19 +421,20 @@ def generate(
     jax.jit,
     static_argnames=(
         "cfg", "max_len", "cache_dtype", "family", "W", "repetition_penalty",
-        "prefill_chunk", "w8a8",
+        "prefill_chunk", "w8a8", "fused_decode",
     ),
 )
 def _cascade_prefill(
     params, cfg, prefix_embeds, rng, initial_done, prompt_tokens, prompt_mask,
     *, max_len, cache_dtype, family, W, repetition_penalty, prefill_chunk,
-    w8a8=False,
+    w8a8=False, fused_decode=False,
 ) -> DecodeState:
     return _init_state(
         params, cfg, prefix_embeds, max_len=max_len, cache_dtype=cache_dtype,
         family=family, W=W, rng=rng, initial_done=initial_done,
         repetition_penalty=repetition_penalty, prompt_tokens=prompt_tokens,
         prompt_mask=prompt_mask, prefill_chunk=prefill_chunk, w8a8=w8a8,
+        fused_decode=fused_decode,
     )
 
 
@@ -378,11 +465,16 @@ def _compact_state(state: DecodeState, perm: jax.Array) -> DecodeState:
     gather (≈ the cost of ~1 decode step's cache read) buys a halved
     per-step cost for every remaining step."""
     cache = state.cache
-    upd = {"k": cache.k[:, perm], "v": cache.v[:, perm]}
-    for f in ("k_scale", "v_scale"):
-        s = getattr(cache, f, None)
-        if s is not None and s.ndim >= 2 and s.shape[1] == cache.k.shape[1]:
-            upd[f] = s[:, perm]
+    if isinstance(cache, llama.PackedKVCache):
+        upd = {"kv": cache.kv[:, perm]}
+        if cache.scale is not None:
+            upd["scale"] = cache.scale[:, perm]
+    else:
+        upd = {"k": cache.k[:, perm], "v": cache.v[:, perm]}
+        for f in ("k_scale", "v_scale"):
+            s = getattr(cache, f, None)
+            if s is not None and s.ndim >= 2 and s.shape[1] == cache.k.shape[1]:
+                upd[f] = s[:, perm]
     return DecodeState(
         cache=cache._replace(**upd),
         tokens=state.tokens[perm],
@@ -418,6 +510,7 @@ def generate_cascade(
     prefill_chunk: Optional[int] = None,
     w8a8: bool = False,
     min_batch: int = 32,
+    fused_decode: Optional[bool] = None,
 ) -> GenerateResult:
     """Cascade decode: reclaim the dead compute of finished rows.
 
@@ -455,12 +548,17 @@ def generate_cascade(
     ML = -(-max_len // W) * W
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if fused_decode is None:
+        fused_decode = _fused_decode_auto(
+            cfg, family, prefix_embeds.dtype, cache_dtype, B,
+            prefix_embeds.shape[1] + ML, W,
+        )
     state = _cascade_prefill(
         params, cfg, prefix_embeds, rng, initial_done,
         prompt_tokens if repetition_penalty != 1.0 else None, prompt_mask,
         max_len=max_len, cache_dtype=cache_dtype, family=family, W=W,
         repetition_penalty=repetition_penalty, prefill_chunk=prefill_chunk,
-        w8a8=w8a8,
+        w8a8=w8a8, fused_decode=fused_decode,
     )
 
     out_tokens = np.zeros((B, ML), np.int32)

@@ -439,7 +439,9 @@ def prefill(
     reports its token-agreement alongside the int8 modes.
     """
     B, S, D = inputs_embeds.shape
-    S_max = cache.k.shape[2]
+    S_max = (
+        cache.kv if isinstance(cache, PackedKVCache) else cache.k
+    ).shape[2]
     # NOTE: the stock Pallas flash-attention kernel was measured SLOWER here
     # (B=64, S=389->512 pad, hd=64, 9 heads: 209 ms vs 106 ms for the einsum
     # formulation on v5e-1 — its block sizes don't suit this tiny head_dim
@@ -537,6 +539,11 @@ def prefill(
     else:
         x, ks, vs = _prefill_scan(params, cfg, inputs_embeds, use_fused,
                                   use_fused_block, mlp_mode)
+    if isinstance(cache, PackedKVCache):
+        # Packed layout for the fused decode kernel: interleave per-group
+        # [K_g | V_g] rows (quantizing k/v separately) instead of padding
+        # each to the 256-lane tile.
+        return x, _write_packed(cfg, cache, ks, vs, jnp.asarray(0, jnp.int32))
     return x, commit(cache, ks, vs, 0)
 
 
@@ -571,6 +578,209 @@ def flush_pending(cfg: LlamaConfig, cache: KVCache, pending) -> KVCache:
         jax.lax.dynamic_update_slice(cache.v, pv.astype(cache.v.dtype), (0, 0, start, 0)),
         start + pk.shape[2],
     )
+
+
+class PackedKVCache(NamedTuple):
+    """Packed-layout KV cache consumed by the fused Pallas decode kernel
+    (ops/pallas_decode_attention.py — see its module docstring for the
+    measured rationale; the short version: decode streams the whole cache
+    every step, the split K/V layout's 256-lane rows carry 25% explicit
+    tile pad, and the packed [K_g|V_g]-per-group 384-lane rows carry
+    none, read once by the kernel at the HBM roofline).
+
+    kv:     (L, B, S8, P2) int8 or float; P2 = 2 * KV_heads * head_dim;
+            lanes [0, KV*hd) hold the packed K row, [KV*hd, P2) the
+            packed V row. (A per-group-interleaved [K_g|V_g] layout was
+            tried first for TP lane-shardability, but its pack/unpack
+            needs 6D reshapes whose batch-minor layouts cost ~50 ms of
+            copies at the B=256 prefill commit; the flat [K|V] layout
+            packs with plain minor-dim concats, and the fused-decode
+            path is disabled under a mesh anyway — the custom call does
+            not partition.)
+    scale:  (L, B, 2*SP) f32 merged per-position scales (int8 mode only):
+            k at lanes [0, S8), v at [SP, SP+S8), SP = S8 lane-padded to
+            128 — merged so the kernel's manual DMA moves one buffer.
+    S8 is max_len rounded up to 8 (manual HBM slices need sublane-aligned
+    memrefs). ``length`` counts flushed positions, as in KVCache.
+    """
+
+    kv: jax.Array
+    length: jax.Array  # int32 scalar
+    scale: Optional[jax.Array] = None  # None = float cache
+
+    @staticmethod
+    def packed_dim(cfg: LlamaConfig) -> int:
+        return cfg.num_kv_heads * 2 * cfg.head_dim
+
+    @staticmethod
+    def create(
+        cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+    ) -> "PackedKVCache":
+        from mellow_tpu.ops.pallas_decode_attention import lane_pad
+
+        dtype = jnp.dtype(dtype)
+        S8 = -(-max_len // 8) * 8
+        P2 = PackedKVCache.packed_dim(cfg)
+        shape = (cfg.num_layers, batch, S8, P2)
+        if dtype == jnp.int8:
+            SP = lane_pad(S8)
+            return PackedKVCache(
+                kv=jnp.zeros(shape, jnp.int8),
+                length=jnp.zeros((), jnp.int32),
+                scale=jnp.zeros((cfg.num_layers, batch, 2 * SP), jnp.float32),
+            )
+        return PackedKVCache(
+            kv=jnp.zeros(shape, dtype), length=jnp.zeros((), jnp.int32)
+        )
+
+    @property
+    def quantized(self) -> bool:
+        return self.scale is not None
+
+
+def _pack_kv_rows(k, v, kv_heads: int, head_dim: int):
+    """(…, KV*hd) k and v -> (…, 2*KV*hd) flat [K | V] rows (one plain
+    minor-dim concat — see PackedKVCache for why not interleaved). Any
+    leading shape and dtype (int8 stays int8)."""
+    return jnp.concatenate([k, v], axis=-1)
+
+
+def _write_packed(
+    cfg: LlamaConfig, cache: PackedKVCache, ks, vs, start
+) -> PackedKVCache:
+    """Quantize (if int8) + pack + write (L, B, n, KV*hd) k/v rows into the
+    packed cache at position ``start``; returns the cache with length =
+    start + n."""
+    KV, hd = cfg.num_kv_heads, cfg.head_dim
+    n = ks.shape[2]
+    if cache.quantized:
+        ks8, ksc = quantize_kv(ks)
+        vs8, vsc = quantize_kv(vs)
+        rows = _pack_kv_rows(ks8, vs8, KV, hd)
+        SP = cache.scale.shape[-1] // 2
+        scale = jax.lax.dynamic_update_slice(cache.scale, ksc, (0, 0, start))
+        scale = jax.lax.dynamic_update_slice(scale, vsc, (0, 0, SP + start))
+        return PackedKVCache(
+            kv=jax.lax.dynamic_update_slice(cache.kv, rows, (0, 0, start, 0)),
+            length=start + n,
+            scale=scale,
+        )
+    rows = _pack_kv_rows(ks, vs, KV, hd).astype(cache.kv.dtype)
+    return PackedKVCache(
+        kv=jax.lax.dynamic_update_slice(cache.kv, rows, (0, 0, start, 0)),
+        length=start + n,
+        scale=None,
+    )
+
+
+def flush_packed(
+    cfg: LlamaConfig, cache: PackedKVCache, extras: jax.Array, n: int
+) -> PackedKVCache:
+    """Flush the window's extras buffer — (L, B, EP, P2) bf16 packed rows,
+    rows [0, n) valid, covering positions cache.length .. +n-1 — into the
+    packed cache (KVCache path: ``flush_pending``). Quantizes on the way
+    in for int8; the un-flushed window rides unquantized, same fidelity
+    note as ``generate``'s docstring."""
+    L, B, EP, P2 = extras.shape
+    KL = cfg.num_kv_heads * cfg.head_dim
+    ks = extras[:, :, :n, :KL]
+    vs = extras[:, :, :n, KL:]
+    return _write_packed(cfg, cache, ks, vs, cache.length)
+
+
+def decode_step_packed(
+    params,
+    cfg: LlamaConfig,
+    token_embed: jax.Array,  # (B, D) embedding of the token just sampled
+    cache: PackedKVCache,
+    cos_full: jax.Array,  # (S8, hd) precomputed rope tables
+    sin_full: jax.Array,
+    extras: jax.Array,  # (L, B, EP, P2) bf16: the window's packed k/v rows
+    n_extra: int,  # static: valid extras rows; this step writes row n_extra
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One incremental decode step over the packed cache via the fused
+    Pallas kernel (ops/pallas_decode_attention.flash_gqa_decode).
+
+    Differences vs ``decode_step``: the flush window's un-flushed
+    positions ride in ONE fixed (L, B, EP, P2) ``extras`` buffer instead
+    of a growing tuple of per-entry arrays — the einsum path's per-entry
+    slices/einsums made late window sub-steps ~20% slower than early ones
+    (profiled: 4.16 -> 5.08 ms across a W=8 window at B=256); here every
+    sub-step runs the same single kernel, extras included (the
+    flash-composition alternative — stats out, XLA-side merge — was
+    measured slower, kernel module docstring). NEVER writes the cache;
+    returns (last hidden (B, D), extras with row ``n_extra`` filled).
+    The caller flushes whole windows via ``flush_packed``.
+    """
+    B, D = token_embed.shape
+    L = cfg.num_layers
+    KV, H, hd = cfg.num_kv_heads, cfg.num_heads, cfg.head_dim
+    rep = H // KV
+    P2 = PackedKVCache.packed_dim(cfg)
+    from mellow_tpu.ops.pallas_decode_attention import (
+        HEAD_PAD, flash_gqa_decode,
+    )
+
+    flushed = cache.length
+    pos = flushed + n_extra
+    x = token_embed[:, None, :]
+    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, 1, axis=0)
+    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, 1, axis=0)
+    eye = jnp.eye(KV, dtype=token_embed.dtype)
+
+    def body(carry, scanned):
+        (x,) = carry
+        lp, ex_layer, l_idx = scanned
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+        q = _mm(h, lp["wq"]).reshape(B, 1, H, hd)
+        k = _mm(h, lp["wk"]).reshape(B, 1, KV, hd)
+        v = _mm(h, lp["wv"]).reshape(B, 1, KV, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        # Same block-diagonal dense-q construction as the einsum path
+        # (decode_step), zero-padded over the V half and the pad rows so
+        # the kernel's full-width contraction yields K-only scores.
+        qg = q.reshape(B, KV, rep, hd)
+        q_dense = jnp.einsum("bgrd,gk->bgrkd", qg, eye).reshape(B, H, KV * hd)
+        q_dense = jnp.pad(
+            q_dense, ((0, 0), (0, HEAD_PAD - H), (0, KV * hd))
+        )  # (B, HP, P2)
+        kv_row = _pack_kv_rows(
+            k.reshape(B, 1, KV * hd), v.reshape(B, 1, KV * hd), KV, hd
+        )  # (B, 1, P2)
+        ex = jax.lax.dynamic_update_slice(ex_layer, kv_row, (0, n_extra, 0))
+
+        o_pk = flash_gqa_decode(
+            q_dense, cache.kv, cache.scale, ex, l_idx, flushed,
+            jnp.asarray(n_extra + 1, jnp.int32), head_dim=hd,
+            interpret=interpret,
+        )[:, :H, KV * hd:]  # (B, H, KV*hd): the V half holds the output
+        o = jnp.einsum(
+            "bgrkd,gk->bgrd", o_pk.reshape(B, KV, rep, KV, hd), eye,
+        ).reshape(B, 1, H * hd)
+        x = x + _mm(o, lp["wo"])
+
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(_mm(h, lp["w_gate"]))
+        up = _mm(h, lp["w_up"])
+        x = x + _mm(gate * up, lp["w_down"])
+        return (x,), kv_row.astype(extras.dtype)
+
+    (x,), new_rows = jax.lax.scan(
+        body,
+        (x,),
+        (params["layers"], extras, jnp.arange(L, dtype=jnp.int32)),
+    )
+    # new_rows: (L, B, 1, P2) — this token's packed k/v, written into the
+    # window buffer at its sub-step slot.
+    extras = jax.lax.dynamic_update_slice(
+        extras, new_rows, (0, 0, n_extra, 0)
+    )
+    x = rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
+    return x[:, 0, :], extras
 
 
 def decode_step(

@@ -62,6 +62,7 @@ def encode_and_prefix(
     static_argnames=(
         "cfg", "max_len", "greedy", "cache_dtype", "stop_token_id",
         "top_k", "repetition_penalty", "prefill_chunk", "w8a8",
+        "fused_decode",
     ),
 )
 def generate_tokens(
@@ -83,6 +84,7 @@ def generate_tokens(
     repetition_penalty: float = 1.0,
     prefill_chunk: Optional[int] = None,  # 0 under a mesh (wrapper does)
     w8a8: bool = False,  # W8A8 prefill MLP (llama + int8 weights only)
+    fused_decode: Optional[bool] = None,  # packed Pallas decode (gen.generate)
 ) -> gen.GenerateResult:
     """End-to-end: two waveforms + prompt ids -> generated token ids.
     One compiled program: encoder x2, prefix assembly, prefill, decode loop."""
@@ -111,6 +113,7 @@ def generate_tokens(
         prompt_mask=text_ids != cfg.pad_token_id,
         prefill_chunk=prefill_chunk,
         w8a8=w8a8,
+        fused_decode=fused_decode,
     )
 
 
@@ -139,6 +142,7 @@ def generate_tokens_dynamic(
     prefill_chunk: Optional[int] = None,
     w8a8: bool = False,
     min_batch: int = 32,
+    fused_decode: Optional[bool] = None,
 ) -> gen.GenerateResult:
     """``generate_tokens`` with cascade batch compaction: finished rows stop
     costing decode steps (see generate.generate_cascade). Host-driven between
@@ -167,6 +171,7 @@ def generate_tokens_dynamic(
         prefill_chunk=prefill_chunk,
         w8a8=w8a8,
         min_batch=min_batch,
+        fused_decode=fused_decode,
     )
 
 

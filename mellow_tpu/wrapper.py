@@ -373,8 +373,12 @@ class MellowWrapper:
                     # A batch-axis slice under a DP mesh would force
                     # cross-device gathers; per-device batches are small
                     # enough there anyway. (gen_fn is always the static
-                    # generate_tokens under a mesh.)
-                    {"prefill_chunk": 0} if self.mesh is not None else {}
+                    # generate_tokens under a mesh.) The fused decode
+                    # kernel's custom call does not partition under a
+                    # mesh either — sharded runs keep the einsum step.
+                    {"prefill_chunk": 0, "fused_decode": False}
+                    if self.mesh is not None
+                    else {}
                 ),
             )
         return result, B

@@ -1,0 +1,243 @@
+"""Packed-cache fused decode attention (ops/pallas_decode_attention.py)
+and its integration (llama.PackedKVCache / decode_step_packed /
+flush_packed / generate fused_decode). All kernel invocations run in
+interpret mode on the CPU backend (tests/conftest.py); real-chip perf is
+measured by benchmarks/exp_decode_attn.py.
+
+Reference behavior covered: the decode attention inside the reference's
+loop (mellow/wrapper.py:217) as restated by llama.decode_step — the
+packed path must be math-equivalent to the einsum path (exactly at fp32,
+up to the documented extra int8 rounding otherwise)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mellow_tpu.config import LlamaConfig
+from mellow_tpu.models import generate as gen
+from mellow_tpu.models import llama
+from mellow_tpu.ops.pallas_decode_attention import (
+    HEAD_PAD,
+    flash_gqa_decode,
+    lane_pad,
+    reference_packed_decode,
+    vmem_bytes,
+)
+
+SMALL = LlamaConfig(
+    vocab_size=512,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=4,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=16,
+    rope_theta=100000.0,
+)
+
+
+def _group_layout_inputs(seed, B=8, L=3, S8=40, KV=3, hd=64, n_extra=3, EP=8):
+    """Random kernel inputs honoring the flat [K | V] packed layout."""
+    P2 = 2 * KV * hd
+    r = np.random.RandomState(seed)
+    q = np.zeros((B, HEAD_PAD, P2), np.float32)
+    H = KV * 3
+    for g in range(KV):
+        for rr in range(3):
+            q[:, g * 3 + rr, g * hd: (g + 1) * hd] = r.randn(B, hd) * 0.3
+    ex = np.zeros((B, EP, P2), np.float32)
+    ex[:, :n_extra] = r.randn(B, n_extra, P2) * 0.3
+    vmask = np.zeros(P2, bool)
+    vmask[KV * hd:] = True  # the V half holds the outputs
+    return q, ex, vmask, H, P2, r
+
+
+def test_kernel_matches_oracle_bf16():
+    B, L, S8, KV, hd, n_extra = 8, 3, 40, 3, 64, 3
+    q, ex, vmask, H, P2, r = _group_layout_inputs(0, B, L, S8, KV, hd, n_extra)
+    kv = jnp.asarray(r.randn(L, B, S8, P2) * 0.3, jnp.bfloat16)
+    qb = jnp.asarray(q, jnp.bfloat16)
+    exb = jnp.asarray(ex, jnp.bfloat16)
+    flushed = 33
+    o = flash_gqa_decode(
+        qb, kv, None, exb, jnp.int32(1), jnp.int32(flushed),
+        jnp.int32(n_extra), head_dim=hd, interpret=True,
+    )
+    ref = reference_packed_decode(
+        qb, kv[1], None, None, exb, flushed, n_extra, head_dim=hd
+    )
+    ov = np.asarray(o, np.float32)[:, :H][..., vmask]
+    rv = np.asarray(ref, np.float32)[:, :H][..., vmask]
+    rel = np.abs(ov - rv) / (np.abs(rv) + 1e-2)
+    assert np.median(rel) < 5e-3, np.median(rel)
+    assert rel.max() < 0.2, rel.max()  # bf16 rounding noise
+
+
+def test_kernel_matches_oracle_int8():
+    B, L, S8, KV, hd, n_extra = 8, 3, 40, 3, 64, 2
+    q, ex, vmask, H, P2, r = _group_layout_inputs(1, B, L, S8, KV, hd, n_extra)
+    SP = lane_pad(S8)
+    kv = jnp.asarray(r.randint(-127, 128, (L, B, S8, P2)), jnp.int8)
+    ksc = r.rand(L, B, S8).astype(np.float32) * 0.01 + 0.001
+    vsc = r.rand(L, B, S8).astype(np.float32) * 0.01 + 0.001
+    sc = np.zeros((L, B, 2 * SP), np.float32)
+    sc[:, :, :S8] = ksc
+    sc[:, :, SP: SP + S8] = vsc
+    qb = jnp.asarray(q, jnp.bfloat16)
+    exb = jnp.asarray(ex, jnp.bfloat16)
+    flushed = 33
+    o = flash_gqa_decode(
+        qb, kv, jnp.asarray(sc), exb, jnp.int32(2), jnp.int32(flushed),
+        jnp.int32(n_extra), head_dim=hd, interpret=True,
+    )
+    ref = reference_packed_decode(
+        qb, kv[2], jnp.asarray(ksc[2]), jnp.asarray(vsc[2]), exb,
+        flushed, n_extra, head_dim=hd,
+    )
+    ov = np.asarray(o, np.float32)[:, :H][..., vmask]
+    rv = np.asarray(ref, np.float32)[:, :H][..., vmask]
+    scale = np.abs(rv).mean()
+    # The kernel's extra int8 q/w rounding is ~0.4% relative each (module
+    # docstring); bound against the output's own magnitude so near-zero
+    # entries don't blow up the ratio.
+    assert np.abs(ov - rv).mean() < 0.03 * scale
+    assert np.abs(ov - rv).max() < 0.3 * scale
+
+
+def test_kernel_ignores_masked_cache_and_extras():
+    """Values beyond `flushed` / `n_extra` must not leak into the output."""
+    B, L, S8, KV, hd, n_extra = 8, 2, 24, 3, 64, 2
+    q, ex, vmask, H, P2, r = _group_layout_inputs(2, B, L, S8, KV, hd, n_extra)
+    kv = r.randn(L, B, S8, P2).astype(np.float32) * 0.3
+    flushed = 17
+    kv2 = kv.copy()
+    kv2[:, :, flushed:] = 77.0  # garbage beyond the flushed count
+    ex2 = ex.copy()
+    ex2[:, n_extra:] = -55.0
+    args = dict(head_dim=hd, interpret=True)
+    qb = jnp.asarray(q, jnp.bfloat16)
+    o1 = flash_gqa_decode(
+        qb, jnp.asarray(kv, jnp.bfloat16), None,
+        jnp.asarray(ex, jnp.bfloat16), jnp.int32(0), jnp.int32(flushed),
+        jnp.int32(n_extra), **args,
+    )
+    o2 = flash_gqa_decode(
+        qb, jnp.asarray(kv2, jnp.bfloat16), None,
+        jnp.asarray(ex2, jnp.bfloat16), jnp.int32(0), jnp.int32(flushed),
+        jnp.int32(n_extra), **args,
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_packed_cache_commit_and_flush_roundtrip():
+    """prefill's packed commit + flush_packed must store exactly what
+    quantize_kv produces, at the right positions, in the flat [K | V]
+    layout."""
+    cfg = SMALL
+    B, S_max, P = 4, 24, 9
+    KV, hd = cfg.num_kv_heads, cfg.head_dim
+    r = np.random.RandomState(3)
+    cache = llama.PackedKVCache.create(cfg, B, S_max, jnp.int8)
+    ks = jnp.asarray(r.randn(cfg.num_layers, B, P, KV * hd), jnp.float32)
+    vs = jnp.asarray(r.randn(cfg.num_layers, B, P, KV * hd), jnp.float32)
+    cache = llama._write_packed(cfg, cache, ks, vs, jnp.int32(0))
+    assert int(cache.length) == P
+
+    k8, ksc = llama.quantize_kv(ks)
+    v8, vsc = llama.quantize_kv(vs)
+    KL = KV * hd
+    kv = np.asarray(cache.kv)
+    np.testing.assert_array_equal(kv[:, :, :P, :KL], np.asarray(k8))
+    np.testing.assert_array_equal(kv[:, :, :P, KL:], np.asarray(v8))
+    SP = cache.scale.shape[-1] // 2
+    np.testing.assert_allclose(
+        np.asarray(cache.scale)[:, :, :P], np.asarray(ksc), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cache.scale)[:, :, SP: SP + P], np.asarray(vsc), rtol=1e-6)
+
+    # flush a 2-row window of packed extras on top
+    W = 2
+    ek = r.randn(cfg.num_layers, B, W, KV * hd).astype(np.float32)
+    ev = r.randn(cfg.num_layers, B, W, KV * hd).astype(np.float32)
+    extras = llama._pack_kv_rows(
+        jnp.asarray(ek), jnp.asarray(ev), KV, hd
+    )
+    cache2 = llama.flush_packed(cfg, cache, extras, W)
+    assert int(cache2.length) == P + W
+    ek8, eksc = llama.quantize_kv(jnp.asarray(ek))
+    kv2 = np.asarray(cache2.kv)
+    np.testing.assert_array_equal(
+        kv2[:, :, P: P + W, :KL], np.asarray(ek8))
+    np.testing.assert_allclose(
+        np.asarray(cache2.scale)[:, :, P: P + W], np.asarray(eksc), rtol=1e-6)
+
+
+def test_decode_step_packed_matches_einsum_fp32():
+    """At fp32 the packed path's math is the einsum path's math (the int8
+    re-quantization only exists for int8 caches) — outputs must agree to
+    fp32 tolerance across a full flush window."""
+    cfg = SMALL
+    r = np.random.RandomState(4)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    B, P, W = 2, 7, 4
+    S_max = P + W
+    prefix = jnp.asarray(r.randn(B, P, cfg.hidden_size) * 0.1, jnp.float32)
+
+    cache_e = llama.KVCache.create(cfg, B, S_max, jnp.float32)
+    x_e, cache_e = llama.prefill(params, cfg, prefix, cache_e)
+    cache_p = llama.PackedKVCache.create(cfg, B, S_max, jnp.float32)
+    x_p, cache_p = llama.prefill(params, cfg, prefix, cache_p)
+    np.testing.assert_allclose(
+        np.asarray(x_p), np.asarray(x_e), rtol=2e-5, atol=2e-5)
+
+    cos_np, sin_np = llama.rope_tables(cfg, cache_p.kv.shape[2], jnp.float32)
+    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    P2 = llama.PackedKVCache.packed_dim(cfg)
+    extras = jnp.zeros((cfg.num_layers, B, W, P2), jnp.float32)
+    pending = ()
+    h_e, h_p = x_e, x_p
+    for i in range(W):
+        tok = jnp.asarray(r.randn(B, cfg.hidden_size) * 0.1, jnp.float32)
+        h_e, _, pending = llama.decode_step(
+            params, cfg, tok, cache_e, cos, sin, pending)
+        h_p, extras = llama.decode_step_packed(
+            params, cfg, tok, cache_p, cos, sin, extras, i, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(h_p), np.asarray(h_e), rtol=2e-4, atol=2e-4,
+            err_msg=f"sub-step {i}",
+        )
+    # Flushing both and decoding once more exercises flush_packed's writes.
+    cache_e = llama.flush_pending(cfg, cache_e, pending)
+    cache_p = llama.flush_packed(cfg, cache_p, extras, W)
+    assert int(cache_p.length) == int(cache_e.length) == P + W
+
+
+def test_generate_fused_decode_token_parity(monkeypatch):
+    """generate(fused_decode) end-to-end (prefill + windowed loop + flush)
+    must emit the same greedy tokens as the einsum path at fp32."""
+    monkeypatch.setenv("MELLOW_TPU_FORCE_FUSED_DECODE", "interpret")
+    cfg = SMALL
+    r = np.random.RandomState(5)
+    params = llama.init_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    # Distinct shapes from other tests: the env gate is read at trace
+    # time, so a cached trace from another shape would bypass it.
+    B, P, max_len = 3, 6, 24
+    prefix = jnp.asarray(r.randn(B, P, cfg.hidden_size) * 0.2, jnp.float32)
+    kw = dict(
+        max_len=max_len, stop_token_id=-1, greedy=True,
+        cache_dtype="float32",
+    )
+    out_p = gen.generate(params, cfg, prefix, fused_decode=True, **kw)
+    out_e = gen.generate(params, cfg, prefix, fused_decode=False, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(out_p.tokens), np.asarray(out_e.tokens))
+
+
+def test_vmem_gate_arithmetic():
+    # Headline shape comfortably inside the ~16 MB VMEM budget; absurd
+    # shapes rejected.
+    assert vmem_bytes(256, 536, 384, 8, 1) < 14 * 1024 * 1024
+    assert vmem_bytes(2048, 4096, 384, 8, 2) > 14 * 1024 * 1024
