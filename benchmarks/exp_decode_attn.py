@@ -41,114 +41,56 @@ def _cfg():
     return get_config("v0").decoder
 
 
-def decode_step_packed(params, cfg, token_embed, kv, scale_kv, cos_full,
-                       sin_full, flushed):
-    """llama.decode_step with the cache attention swapped for the fused
-    packed kernel; the current token rides as the kernel's single `extra`
-    position. Mirrors models/llama.py decode_step structure."""
-    from mellow_tpu.models import llama
-    from mellow_tpu.ops.pallas_decode_attention import (
-        HEAD_PAD, flash_gqa_decode,
-    )
+def run_current_factory():
+    import functools
 
-    B_, D = token_embed.shape
-    L = cfg.num_layers
-    KV, H, hd = cfg.num_kv_heads, cfg.num_heads, cfg.head_dim
-    rep = H // KV
-    P2 = KV * 2 * hd
-    x = token_embed[:, None, :]
-    pos = flushed
-    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, 1, axis=0)
-    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, 1, axis=0)
-    eye = jnp.eye(KV, dtype=token_embed.dtype)
-    # One placement einsum builds q_dense directly in its final (B, H, P2)
-    # shape — the stack/reshape construction left XLA a batch-minor
-    # intermediate plus two (256, 9, 384) relayout copies per layer
-    # (profiled ~9 us/layer).
-    place = np.zeros((KV, hd, P2), np.float32)
-    for g in range(KV):
-        place[g, :, g * 2 * hd: g * 2 * hd + hd] = np.eye(hd)
-    place = jnp.asarray(place, token_embed.dtype)
+    @functools.partial(jax.jit, static_argnames=("reps", "cfg"))
+    def run_current(params, cfg, cache, cos, sin, tok0, reps: int):
+        from mellow_tpu.models import llama
 
-    def body(carry, scanned):
-        (x,) = carry
-        lp, l_idx = scanned
-        h = llama.rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
-        q = llama._mm(h, lp["wq"]).reshape(B_, 1, H, hd)
-        k = llama._mm(h, lp["wk"]).reshape(B_, 1, KV, hd)
-        v = llama._mm(h, lp["wv"]).reshape(B_, 1, KV, hd)
-        q = llama.apply_rope(q, cos, sin)
-        k = llama.apply_rope(k, cos, sin)
+        def rep(i, carry):
+            acc, emb = carry
+            hidden, _, _ = llama.decode_step(params, cfg, emb, cache, cos, sin)
+            emb = (tok0 + hidden.astype(tok0.dtype) * 1e-3).astype(tok0.dtype)
+            return acc + jnp.sum(hidden.astype(jnp.float32)) * 1e-9, emb
 
-        qg = q.reshape(B_, KV, rep, hd)
-        q_dense = jnp.einsum("bgrd,gdp->bgrp", qg, place).reshape(B_, H, P2)
-        q_dense = jnp.pad(q_dense, ((0, 0), (0, HEAD_PAD - H), (0, 0)))
-        kvpair = jnp.stack(
-            [k.reshape(B_, 1, KV, hd), v.reshape(B_, 1, KV, hd)], axis=-2
-        ).reshape(B_, 1, P2)
-        extra = jnp.pad(kvpair, ((0, 0), (0, 7), (0, 0)))  # EP = 8
+        acc, _ = jax.lax.fori_loop(0, reps, rep, (jnp.float32(0), tok0))
+        return acc
 
-        o_pk = flash_gqa_decode(
-            q_dense, kv, scale_kv, extra, l_idx, flushed,
-            jnp.asarray(1, jnp.int32), head_dim=hd,
-        )[:, :H, :]  # (B, H, P2)
-        o = jnp.einsum(
-            "bgrkd,gk->bgrd",
-            o_pk.reshape(B_, KV, rep, KV, 2, hd)[..., 1, :], eye,
-        ).reshape(B_, 1, H * hd)
-        x = x + llama._mm(o, lp["wo"])
-        h = llama.rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(llama._mm(h, lp["w_gate"]))
-        up = llama._mm(h, lp["w_up"])
-        x = x + llama._mm(gate * up, lp["w_down"])
-        return (x,), None
-
-    (x,), _ = jax.lax.scan(
-        body, (x,), (params["layers"], jnp.arange(L, dtype=jnp.int32))
-    )
-    x = llama.rms_norm(x, params["norm_f"], cfg.rms_norm_eps)
-    return x[:, 0, :]
+    return run_current
 
 
-@functools.partial(jax.jit, static_argnames=("reps", "cfg"))
-def run_current(params, cfg, cache, cos, sin, tok0, reps: int):
-    from mellow_tpu.models import llama
+def run_packed_factory():
+    import functools
 
-    def rep(i, carry):
-        acc, emb = carry
-        hidden, _, _ = llama.decode_step(params, cfg, emb, cache, cos, sin, ())
-        emb = (tok0 + hidden.astype(tok0.dtype) * 1e-3).astype(tok0.dtype)
-        return acc + jnp.sum(hidden.astype(jnp.float32)) * 1e-9, emb
+    @functools.partial(jax.jit, static_argnames=("reps", "cfg"))
+    def run_packed(params, cfg, pcache, cos, sin, tok0, reps: int):
+        from mellow_tpu.models import llama
 
-    acc, _ = jax.lax.fori_loop(0, reps, rep, (jnp.float32(0), tok0))
-    return acc
+        P2 = llama.PackedKVCache.packed_dim(cfg)
+        extras0 = jnp.zeros((cfg.num_layers, B, 8, P2), tok0.dtype)
 
+        def rep(i, carry):
+            acc, emb = carry
+            hidden, _ = llama.decode_step_packed(
+                params, cfg, emb, pcache, cos, sin, extras0, 0
+            )
+            emb = (tok0 + hidden.astype(tok0.dtype) * 1e-3).astype(tok0.dtype)
+            return acc + jnp.sum(hidden.astype(jnp.float32)) * 1e-9, emb
 
-@functools.partial(jax.jit, static_argnames=("reps", "cfg"))
-def run_packed(params, cfg, kv, scale_kv, cos, sin, tok0, reps: int):
-    flushed = jnp.asarray(FLUSHED, jnp.int32)
+        acc, _ = jax.lax.fori_loop(0, reps, rep, (jnp.float32(0), tok0))
+        return acc
 
-    def rep(i, carry):
-        acc, emb = carry
-        hidden = decode_step_packed(
-            params, cfg, emb, kv, scale_kv, cos, sin, flushed
-        )
-        emb = (tok0 + hidden.astype(tok0.dtype) * 1e-3).astype(tok0.dtype)
-        return acc + jnp.sum(hidden.astype(jnp.float32)) * 1e-9, emb
-
-    acc, _ = jax.lax.fori_loop(0, reps, rep, (jnp.float32(0), tok0))
-    return acc
+    return run_packed
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _make_cache(key, cfg):
-    from mellow_tpu.models.llama import KVCache
+    from mellow_tpu.models.llama import KVCache, PackedKVCache
     from mellow_tpu.ops.pallas_decode_attention import lane_pad
 
     L = cfg.num_layers
     KL = cfg.num_kv_heads * cfg.head_dim
-    hd = cfg.head_dim
-    KV = cfg.num_kv_heads
     P = KVCache.packed_dim(cfg)
     SP = lane_pad(S8)
     ks = jax.random.split(key, 4)
@@ -160,15 +102,16 @@ def _make_cache(key, cfg):
         k=k8, v=v8, length=jnp.asarray(FLUSHED, jnp.int32),
         k_scale=ksc, v_scale=vsc,
     )
-    # Packed layout: per-group [K_g | V_g] pairs.
-    kp = k8[..., :KL].reshape(L, B, S, KV, hd)
-    vp = v8[..., :KL].reshape(L, B, S, KV, hd)
-    kv = jnp.stack([kp, vp], axis=-2).reshape(L, B, S, 2 * KL)
+    # Flat [K | V] packed layout (PackedKVCache docstring).
+    kv = jnp.concatenate([k8[..., :KL], v8[..., :KL]], axis=-1)
     kv = jnp.pad(kv, ((0, 0), (0, 0), (0, S8 - S), (0, 0)))
     scale_kv = jnp.zeros((L, B, 2 * SP), jnp.float32)
     scale_kv = jax.lax.dynamic_update_slice(scale_kv, ksc, (0, 0, 0))
     scale_kv = jax.lax.dynamic_update_slice(scale_kv, vsc, (0, 0, SP))
-    return cache, kv, scale_kv
+    pcache = PackedKVCache(
+        kv=kv, length=jnp.asarray(FLUSHED, jnp.int32), scale=scale_kv
+    )
+    return cache, pcache
 
 
 def main():
@@ -184,8 +127,8 @@ def main():
         llama.init_params(jax.random.PRNGKey(0), cfg, dt), cfg
     )
     t0 = time.time()
-    cache, kv, scale_kv = _make_cache(jax.random.PRNGKey(1), cfg)
-    jax.block_until_ready(kv)
+    cache, pcache = _make_cache(jax.random.PRNGKey(1), cfg)
+    jax.block_until_ready(pcache.kv)
     log(f"cache built on device in {time.time()-t0:.1f}s")
     cos_np, sin_np = llama.rope_tables(cfg, S8, dt)
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
@@ -195,6 +138,8 @@ def main():
 
     KL = cfg.num_kv_heads * cfg.head_dim
     L = cfg.num_layers
+    run_current = run_current_factory()
+    run_packed = run_packed_factory()
     for name, fn, args, byts in [
         (
             "current einsum (2x256 lanes)",
@@ -203,7 +148,7 @@ def main():
         ),
         (
             "packed kernel (1x384 lanes)",
-            run_packed, (params, cfg, kv, scale_kv, cos, sin, tok0),
+            run_packed, (params, cfg, pcache, cos, sin, tok0),
             L * B * S8 * (2 * KL + 8),
         ),
     ]:
