@@ -125,6 +125,9 @@ def main():
         byts = rf.decode_step_bytes(
             cfg.decoder, B, s_max, cache_dtype,
             "int8" if w8a8 else weight_dtype,  # weights stream int8 either way
+            fused_decode=gen._fused_decode_auto(
+                cfg.decoder, "llama", dtype, cache_dtype, B, s_max, 8
+            ),
         )
         flops = rf.decode_step_flops(cfg.decoder, B, s_max)
         bw = byts / per_step

@@ -34,16 +34,22 @@ def decoder_matmul_params(cfg: LlamaConfig) -> int:
 def decode_step_bytes(
     cfg: LlamaConfig, batch: int, s_max: int,
     cache_dtype: str = "bfloat16", weight_dtype: str = "bfloat16",
-    compute_dtype: str = "bfloat16",
+    compute_dtype: str = "bfloat16", fused_decode: bool = False,
 ) -> float:
     """HBM bytes read per decode step: layer weights + logits head + the
-    full padded KV cache (k and v; int8 adds fp32 scales)."""
+    full KV cache (k and v; int8 adds fp32 scales). ``fused_decode``:
+    the packed zero-pad [K|V] cache of llama.PackedKVCache (bf16-cache
+    default on TPU) — 2*KV*hd lanes per position instead of two
+    tile-padded 128-multiples."""
     wb = _dtype_bytes(weight_dtype)
     layer_bytes = decoder_matmul_params(cfg) * wb
     head_bytes = cfg.vocab_size * cfg.hidden_size * wb
-    packed = -(-cfg.num_kv_heads * cfg.head_dim // 128) * 128
+    if fused_decode:
+        row = 2 * cfg.num_kv_heads * cfg.head_dim  # zero-pad packed rows
+    else:
+        row = 2 * (-(-cfg.num_kv_heads * cfg.head_dim // 128) * 128)
     cb = _dtype_bytes(cache_dtype)
-    cache_bytes = 2 * cfg.num_layers * batch * s_max * packed * cb
+    cache_bytes = cfg.num_layers * batch * s_max * row * cb
     if cache_dtype == "int8":
         cache_bytes += 2 * cfg.num_layers * batch * s_max * 4  # fp32 scales
     return layer_bytes + head_bytes + cache_bytes
