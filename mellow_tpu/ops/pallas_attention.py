@@ -79,7 +79,15 @@ def _kernel_tri(q_ref, k_ref, v_ref, o_ref, *, H, KV, hd, scale, SP, S_real):
     Measured SLOWER than the whole-square kernel at SP=512 (1.84 vs 1.70
     ms/layer, B=64): the 36 skinny dots + concats cost more than the skipped
     upper-triangle work saves. Kept as the measured record; may win at
-    larger SP where the triangle fraction matters more."""
+    larger SP where the triangle fraction matters more. (A third variant —
+    per-block triangle softmax writing normalized weights into a zeroed
+    (SP, SP) scratch, one full value dot per head — was also measured and
+    was 5x SLOWER (0.34 vs 0.07 ms/call at B=32, S=389): the scratch
+    zero-fill + blockwise stores dwarf the skipped exp work. The square
+    kernel is already at its compute ideal in isolation — 0.070 ms/call
+    at B=32 equals the analytic bound benchmarks/README.md quotes; the
+    0.227 ms/layer prefill attribution is the whole fused attention
+    BLOCK (qkv+rope+attn+o+residual), not this kernel.)"""
     rep = H // KV
     QB = 128
     nq = SP // QB
@@ -160,6 +168,7 @@ def flash_gqa_prefill(
     scale = 1.0 / np.sqrt(hd)
 
     kern = {"tri": _kernel_tri, "square": _kernel}[variant]
+    scratch = []
     out = pl.pallas_call(
         functools.partial(
             kern, H=H, KV=KV, hd=hd, scale=np.float32(scale), SP=SP, S_real=S
@@ -174,6 +183,7 @@ def flash_gqa_prefill(
             (1, SP, H * hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, S, H * hd), q.dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * H * SP * SP * hd,
