@@ -224,31 +224,24 @@ class SubtypeReport:
 
 
 def load_manifest(path: str, audio_root: Optional[str] = None) -> List[EvalExample]:
-    """Read the documented ReasonAQA JSON (reference README.md:89-114).
-    ``filepath2`` is empty for single-audio tasks — the reference's own
-    examples pass the same clip twice in that case."""
-    import os
+    """Read the documented ReasonAQA JSON (reference README.md:89-114) via
+    the training pipeline's loader (train/data.py — single source of truth
+    for the schema). ``filepath2`` is empty for single-audio tasks — the
+    reference's own examples pass the same clip twice in that case."""
+    from mellow_tpu.train.data import load_json
 
-    with open(path) as f:
-        data = json.load(f)
-    out = []
-    for d in data:
-        a1 = d["filepath1"]
-        a2 = d.get("filepath2") or a1
-        if audio_root:
-            a1 = os.path.join(audio_root, a1)
-            a2 = os.path.join(audio_root, a2)
-        out.append(
-            EvalExample(
-                audio1=a1,
-                audio2=a2,
-                prompt=d["input"],
-                answer=d["answer"],
-                subtype=d.get("subtype", "default"),
-                taskname=d.get("taskname", ""),
-            )
+    rows = load_json(path, audio_root or "")
+    return [
+        EvalExample(
+            audio1=r.filepath1,
+            audio2=r.filepath2 or r.filepath1,
+            prompt=r.input,
+            answer=r.answer,
+            subtype=r.subtype or "default",
+            taskname=getattr(r, "taskname", ""),
         )
-    return out
+        for r in rows
+    ]
 
 
 def is_closed_form(subtype: str) -> bool:
@@ -306,6 +299,15 @@ def run_eval(
                 subtype,
             ),
         )
+    # Size-weighted overall row for the metrics every subtype shares.
+    n_all = len(examples)
+    reports["OVERALL"] = SubtypeReport(
+        n=n_all,
+        metrics={
+            m: sum(r.metrics[m] * r.n for r in reports.values()) / n_all
+            for m in ("exact_match", "token_f1")
+        },
+    )
     return reports, preds
 
 

@@ -176,8 +176,9 @@ def test_run_eval_end_to_end(tmp_path):
         wrapper, exs, batch_size=2, max_len=4, stop_token="\x00"
     )
     assert len(preds) == 2
-    assert set(reports) == {"ClothoAQA-binary.json", "AudioCaps.json"}
+    assert set(reports) == {"ClothoAQA-binary.json", "AudioCaps.json", "OVERALL"}
     assert reports["ClothoAQA-binary.json"].n == 1
+    assert reports["OVERALL"].n == 2
     assert "cider_d" in reports["AudioCaps.json"].metrics
     assert "bleu4" not in reports["ClothoAQA-binary.json"].metrics
     print(ev.format_report(reports))
