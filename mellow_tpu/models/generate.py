@@ -264,14 +264,15 @@ def _init_state(
     )
 
 
-def _decode_loop(
-    params, cfg, state: DecodeState, *, family, max_len, stop_token_id,
+def _window_body(
+    params, cfg, state: DecodeState, *, family, stop_token_id,
     greedy, top_p, temperature, top_k, repetition_penalty, W,
-    alive_threshold: int = 0,
-) -> DecodeState:
-    """The windowed decode while_loop. Runs until ``max_len`` or until the
-    number of unfinished rows drops to ``alive_threshold`` (0 = all done,
-    the plain path; the cascade driver uses B/2 to trigger compaction)."""
+):
+    """Build the one-flush-window step function over ``state``'s shapes:
+    W unrolled sub-steps (sample token -> decode step) + one cache flush.
+    Shared by the while_loop drivers (_decode_loop) and the streaming
+    generator (generate_stream), which runs it one window per host
+    iteration."""
     from mellow_tpu.models.decoders import get_decoder_ops
 
     ops = get_decoder_ops(family)
@@ -306,11 +307,6 @@ def _decode_loop(
             return ops.decode_step(params, cfg, tok_embed, cache, pending)
 
     embed_table = ops.embed_table(params)
-
-    def cond(s: DecodeState):
-        return jnp.logical_and(
-            s.t < max_len, jnp.sum(~s.done) > alive_threshold
-        )
 
     def body(s: DecodeState):
         cache, tokens, hidden, done, rng = (
@@ -352,7 +348,50 @@ def _decode_loop(
             cache, tokens, hidden, s.t + W, done, rng, s.prompt_seen
         )
 
+    return body
+
+
+def _decode_loop(
+    params, cfg, state: DecodeState, *, family, max_len, stop_token_id,
+    greedy, top_p, temperature, top_k, repetition_penalty, W,
+    alive_threshold: int = 0,
+) -> DecodeState:
+    """The windowed decode while_loop. Runs until ``max_len`` or until the
+    number of unfinished rows drops to ``alive_threshold`` (0 = all done,
+    the plain path; the cascade driver uses B/2 to trigger compaction)."""
+    body = _window_body(
+        params, cfg, state, family=family, stop_token_id=stop_token_id,
+        greedy=greedy, top_p=top_p, temperature=temperature, top_k=top_k,
+        repetition_penalty=repetition_penalty, W=W,
+    )
+
+    def cond(s: DecodeState):
+        return jnp.logical_and(
+            s.t < max_len, jnp.sum(~s.done) > alive_threshold
+        )
+
     return jax.lax.while_loop(cond, body, state)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "family", "stop_token_id", "greedy", "top_p", "temperature",
+        "top_k", "repetition_penalty", "W",
+    ),
+)
+def _one_window(
+    params, cfg, state: DecodeState, *, family, stop_token_id, greedy,
+    top_p, temperature, top_k, repetition_penalty, W,
+) -> DecodeState:
+    """Exactly one flush window (W sub-steps + flush), jitted — the unit
+    ``generate_stream`` advances between yields."""
+    body = _window_body(
+        params, cfg, state, family=family, stop_token_id=stop_token_id,
+        greedy=greedy, top_p=top_p, temperature=temperature, top_k=top_k,
+        repetition_penalty=repetition_penalty, W=W,
+    )
+    return body(state)
 
 
 @functools.partial(
@@ -608,6 +647,75 @@ def generate_cascade(
         tokens=jnp.asarray(out_tokens[:, :max_len]),
         num_steps=jnp.minimum(jnp.asarray(t_final, jnp.int32), max_len),
     )
+
+
+def generate_stream(
+    params,
+    cfg,
+    prefix_embeds: jax.Array,  # (B, P, D)
+    *,
+    max_len: int,
+    stop_token_id: int,
+    greedy: bool = True,
+    top_p: float = 0.8,
+    temperature: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    cache_dtype: str = "float32",
+    initial_done: Optional[jax.Array] = None,
+    family: str = "llama",
+    flush_window: Optional[int] = None,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    prompt_tokens: Optional[jax.Array] = None,
+    prompt_mask: Optional[jax.Array] = None,
+    prefill_chunk: Optional[int] = None,
+    w8a8: bool = False,
+    fused_decode: Optional[bool] = None,
+):
+    """Streaming variant of ``generate``: yields a ``GenerateResult``
+    snapshot after every flush window (W tokens per yield), final one
+    included, with identical token streams to ``generate`` (same jitted
+    window body — the only difference is one host fetch per window
+    instead of one at the end; on the tunneled bench chip that costs a
+    ~RTT per W tokens, on a locally-attached chip it is ~free). The
+    reference has no streaming surface at all (its Python loop decodes
+    everything before returning, wrapper.py:216-256); this powers the
+    server's incremental (SSE) endpoint."""
+    import numpy as np
+
+    B, P, _ = prefix_embeds.shape
+    W = _effective_window(flush_window, max_len, greedy, B)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if fused_decode is None:
+        fused_decode = _fused_decode_auto(
+            cfg, family, prefix_embeds.dtype, cache_dtype, B,
+            P + -(-max_len // W) * W, W,
+        )
+    state = _cascade_prefill(
+        params, cfg, prefix_embeds, rng, initial_done,
+        prompt_tokens if repetition_penalty != 1.0 else None, prompt_mask,
+        max_len=max_len, cache_dtype=cache_dtype, family=family, W=W,
+        repetition_penalty=repetition_penalty, prefill_chunk=prefill_chunk,
+        w8a8=w8a8, fused_decode=fused_decode,
+    )
+    while True:
+        state = _one_window(
+            params, cfg, state, family=family, stop_token_id=stop_token_id,
+            greedy=greedy, top_p=float(top_p), temperature=float(temperature),
+            top_k=top_k, repetition_penalty=repetition_penalty, W=W,
+        )
+        # One host sync per window: tokens-so-far + done ride together.
+        toks, done, t_dev = jax.device_get(
+            (state.tokens, state.done, state.t)
+        )
+        t = min(int(t_dev), max_len)
+        yield GenerateResult(
+            tokens=jnp.asarray(toks[:, :max_len]),
+            num_steps=jnp.asarray(t, jnp.int32),
+        )
+        if t >= max_len or np.asarray(done).all():
+            return
 
 
 def tokens_to_lists(result: GenerateResult, stop_token_id: int):

@@ -35,6 +35,7 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -54,9 +55,15 @@ class MellowServer:
         max_body_bytes: int = 64 << 20,
         request_timeout: Optional[float] = None,
     ):
+        self.wrapper = wrapper
         self.engine = BatchingEngine(
             wrapper, max_batch_size=max_batch_size, max_wait_ms=max_wait_ms
         )
+        # Streaming requests bypass the batching engine (they yield per
+        # flush window; the engine's coalesced futures are one-shot) and
+        # are serialized against each other — concurrent device use with
+        # the engine's dispatcher is safe (JAX serializes dispatches).
+        self._stream_lock = threading.Lock()
         self.audio_root = (
             None if audio_root is None else os.path.realpath(audio_root)
         )
@@ -117,6 +124,36 @@ class MellowServer:
                 except OSError:
                     pass
 
+    def handle_generate_stream(self, body: dict):
+        """Yield SSE event dicts: one ``{"text", "num_steps", "done"}`` per
+        flush window (text already stop-token-trimmed), the last with
+        ``done=true``. Wrapper surface: MellowWrapper.generate_stream."""
+        tmp_wavs: list = []
+        try:
+            a1 = self._resolve_audio(body, "audio1", tmp_wavs)
+            a2 = self._resolve_audio(body, "audio2", tmp_wavs)
+            prompt = body["prompt"]
+            with self._stream_lock, metrics.timer("http_generate_stream"):
+                it = self.wrapper.generate_stream(
+                    [[a1, a2, prompt]],
+                    max_len=int(body.get("max_len", 300)),
+                    top_p=float(body.get("top_p", 0.8)),
+                    temperature=float(body.get("temperature", 1.0)),
+                    sample=bool(body.get("sample", False)),
+                )
+                prev = None
+                for texts in it:
+                    if prev is not None:
+                        yield {"text": prev, "done": False}
+                    prev = texts[0]
+                yield {"text": prev if prev is not None else "", "done": True}
+        finally:
+            for p in tmp_wavs:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
     def shutdown(self):
         self.engine.shutdown()
         shutil.rmtree(self._tmpdir, ignore_errors=True)
@@ -148,6 +185,9 @@ class MellowServer:
                     self._send(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
+                if self.path == "/generate_stream":
+                    self._post_stream()
+                    return
                 if self.path != "/generate":
                     self._send(404, {"error": f"no route {self.path}"})
                     return
@@ -168,6 +208,39 @@ class MellowServer:
                     self._send(504, {"error": "generation timed out"})
                 except Exception as e:  # noqa: BLE001 — surface to client
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+            def _post_stream(self):
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    if n > app.max_body_bytes:
+                        self._send(413, {"error": "request body too large"})
+                        return
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    events = app.handle_generate_stream(body)
+                    # Validate inputs before committing to the SSE status
+                    # line: pull the first event inside the try.
+                    first = next(events)
+                except (KeyError, FileNotFoundError, ValueError) as e:
+                    self._send(400, {"error": str(e)})
+                    return
+                except PermissionError as e:
+                    self._send(403, {"error": str(e)})
+                    return
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                try:
+                    for ev in [first, *events]:
+                        self.wfile.write(
+                            b"data: " + json.dumps(ev).encode() + b"\n\n"
+                        )
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away mid-stream
 
         return ThreadingHTTPServer((host, port), Handler)
 

@@ -35,6 +35,7 @@ from mellow_tpu.config import MellowConfig, get_config
 from mellow_tpu.io.resample import resample
 from mellow_tpu.io.tokenizer import load_tokenizer
 from mellow_tpu.io.wav import read_wav
+from mellow_tpu.models import generate as gen
 from mellow_tpu.models import mellow as mellow_model
 from mellow_tpu.models.generate import GenerateResult
 
@@ -304,11 +305,10 @@ class MellowWrapper:
         metrics.count("generate_calls", 1)
         return texts
 
-    def _generate_device(
-        self, audio1, audio2, text_ids, max_len, top_p, temperature,
-        *, sample=False, seed=0, kv_cache_dtype=None, stop_token_id=None,
-        top_k=0, repetition_penalty=1.0, dynamic_batch=False,
-    ):
+    def _prepare_device_inputs(self, audio1, audio2, text_ids):
+        """Pow-2 batch bucketing (bounds recompiles), padding rows marked
+        done, params cast to the compute dtype, mesh sharding. Shared by
+        the one-shot and streaming generate paths."""
         B = audio1.shape[0]
         Bp = _next_pow2(B)  # bucket to bound recompiles
         if self.mesh is not None:
@@ -342,6 +342,16 @@ class MellowWrapper:
             audio2 = jax.device_put(np.asarray(audio2), bsh)
             text_ids = jax.device_put(np.asarray(text_ids), bsh)
             initial_done = jax.device_put(np.asarray(initial_done), bsh)
+        return params, audio1, audio2, text_ids, initial_done, B, dtype
+
+    def _generate_device(
+        self, audio1, audio2, text_ids, max_len, top_p, temperature,
+        *, sample=False, seed=0, kv_cache_dtype=None, stop_token_id=None,
+        top_k=0, repetition_penalty=1.0, dynamic_batch=False,
+    ):
+        (params, audio1, audio2, text_ids, initial_done, B, dtype) = (
+            self._prepare_device_inputs(audio1, audio2, text_ids)
+        )
         precision = "highest" if dtype == jnp.float32 else "default"
         # Cascade compaction is a single-device optimization: its host-side
         # row gathers would fight the DP sharding (and per-device batches
@@ -382,6 +392,74 @@ class MellowWrapper:
                 ),
             )
         return result, B
+
+    def generate_stream(
+        self,
+        examples: Sequence[Sequence[str]],
+        max_len: int = 300,
+        top_p: float = 0.8,
+        temperature: float = 1.0,
+        stop_token: str = "<|endoftext|>",
+        audio_resample: bool = True,
+        *,
+        sample: bool = False,
+        seed: int = 0,
+        crop_start: Optional[int] = None,
+        kv_cache_dtype: Optional[str] = None,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
+    ):
+        """Streaming ``generate``: yields the batch's partial texts (one
+        list[str] per flush window, each already stop-token-trimmed like
+        the final result) and ends with the complete texts. Token streams
+        are identical to ``generate`` (same jitted window body —
+        generate.generate_stream); the cost is one host fetch per W
+        tokens. The reference has no incremental surface (its loop
+        returns only at the end, wrapper.py:216-256); this powers the
+        HTTP server's SSE endpoint."""
+        paths1 = [e[0] for e in examples]
+        paths2 = [e[1] for e in examples]
+        prompts = [e[2] for e in examples]
+        audio1 = self.preprocess_audio(paths1, audio_resample, crop_start)
+        audio2 = self.preprocess_audio(paths2, audio_resample, crop_start)
+        text_ids = self.preprocess_text(prompts)
+        try:
+            stop_token_id = int(self.tokenizer.encode(stop_token)[0])
+        except Exception:
+            stop_token_id = self.cfg.stop_token_id
+
+        (params, audio1, audio2, text_ids, initial_done, B, dtype) = (
+            self._prepare_device_inputs(audio1, audio2, text_ids)
+        )
+        text_ids = jnp.asarray(text_ids)
+        precision = "highest" if dtype == jnp.float32 else "default"
+        with jax.default_matmul_precision(precision):
+            prefix = mellow_model._encode_prefix_jit(
+                params, self.cfg,
+                jnp.asarray(audio1, dtype), jnp.asarray(audio2, dtype),
+                text_ids,
+            )
+            for result in gen.generate_stream(
+                params["decoder"],
+                self.cfg.decoder,
+                prefix,
+                max_len=max_len,
+                stop_token_id=stop_token_id,
+                greedy=not sample,
+                top_p=top_p,
+                temperature=temperature,
+                rng=jax.random.PRNGKey(seed),
+                cache_dtype=(kv_cache_dtype or str(dtype)),
+                initial_done=initial_done,
+                family=self.cfg.decoder_family,
+                top_k=top_k,
+                repetition_penalty=repetition_penalty,
+                prompt_tokens=text_ids,
+                prompt_mask=text_ids != self.cfg.pad_token_id,
+                **({"fused_decode": False, "prefill_chunk": 0}
+                   if self.mesh is not None else {}),
+            ):
+                yield self._detokenize(result, B, stop_token)
 
     def _detokenize(
         self, result: GenerateResult, n_real: int, stop_token: str

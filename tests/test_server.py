@@ -154,3 +154,47 @@ def test_non_loopback_requires_audio_root():
             )
     finally:
         srv.shutdown()
+
+
+def test_generate_stream_sse(server_url):
+    """The /generate_stream endpoint emits SSE events per flush window,
+    final one marked done, with the same text as /generate."""
+    url, wrapper, srv = server_url
+    body = {
+        "audio1": REF_WAV1, "audio2": REF_WAV2,
+        "prompt": "caption", "max_len": 6,
+    }
+    req = urllib.request.Request(
+        url + "/generate_stream",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        events = []
+        for raw in resp:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[len("data: "):]))
+    assert events and events[-1]["done"] is True
+    assert all(not e["done"] for e in events[:-1])
+    code, direct = _post(url + "/generate", body)
+    assert code == 200
+    assert events[-1]["text"] == direct["text"]
+
+
+def test_generate_stream_error_before_sse(server_url):
+    url, wrapper, srv = server_url
+    body = {"audio1": "/nonexistent.wav", "audio2": REF_WAV2, "prompt": "x"}
+    try:
+        urllib.request.urlopen(
+            urllib.request.Request(
+                url + "/generate_stream",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            ),
+            timeout=600,
+        )
+        assert False, "expected HTTP error"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -148,3 +148,21 @@ def test_generate_e2e_through_real_bpe(tmp_path):
 
     # The stop id the jitted loop used is the real BPE special id.
     assert tok.encode("<|endoftext|>")[0] == vocab["<|endoftext|>"]
+
+
+def test_generate_stream_matches_generate(wrapper):
+    """Streaming yields one partial batch per flush window and its final
+    snapshot equals generate()'s output (same jitted window body)."""
+    examples = [[REF_WAV1, REF_WAV1, "caption"], [REF_WAV1, REF_WAV1, "x"]]
+    full = wrapper.generate(examples, max_len=8, stop_token="\x00",
+                            crop_start=0)
+    chunks = list(
+        wrapper.generate_stream(examples, max_len=8, stop_token="\x00",
+                                crop_start=0)
+    )
+    assert len(chunks) >= 1
+    # Each chunk is the batch's texts so far; prefixes must be monotone.
+    for earlier, later in zip(chunks, chunks[1:]):
+        for a, b in zip(earlier, later):
+            assert b.startswith(a)
+    assert chunks[-1] == full
