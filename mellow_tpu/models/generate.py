@@ -675,9 +675,10 @@ def generate_stream(
     """Streaming variant of ``generate``: yields a ``GenerateResult``
     snapshot after every flush window (W tokens per yield), final one
     included, with identical token streams to ``generate`` (same jitted
-    window body — the only difference is one host fetch per window
-    instead of one at the end; on the tunneled bench chip that costs a
-    ~RTT per W tokens, on a locally-attached chip it is ~free). The
+    window body — the only difference is one host fetch + dispatch per
+    window instead of one at the end; measured +39 ms/window on the
+    TUNNELED bench chip — that is the tunnel round-trip, ~free on a
+    locally-attached chip). The
     reference has no streaming surface at all (its Python loop decodes
     everything before returning, wrapper.py:216-256); this powers the
     server's incremental (SSE) endpoint."""
