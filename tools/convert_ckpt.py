@@ -254,3 +254,9 @@ def main(argv):
 
 if __name__ == "__main__":
     main(sys.argv)
+
+
+def _entry():  # console-script entry (pyproject.toml)
+    import sys as _sys
+
+    main(_sys.argv)

@@ -166,3 +166,9 @@ def main(argv):
 if __name__ == "__main__":
     sys.path.insert(0, __file__.rsplit("/", 2)[0])
     main(sys.argv)
+
+
+def _entry():  # console-script entry (pyproject.toml)
+    import sys as _sys
+
+    main(_sys.argv)
