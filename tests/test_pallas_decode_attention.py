@@ -241,3 +241,51 @@ def test_vmem_gate_arithmetic():
     # shapes rejected.
     assert vmem_bytes(256, 536, 384, 8, 1) < 14 * 1024 * 1024
     assert vmem_bytes(2048, 4096, 384, 8, 2) > 14 * 1024 * 1024
+
+
+def test_generate_fused_decode_sampling_parity(monkeypatch):
+    """Sampling (W=2, EP<8 kernel pad path): identical filtered logits =>
+    identical categorical draws vs the einsum path at fp32."""
+    monkeypatch.setenv("MELLOW_TPU_FORCE_FUSED_DECODE", "interpret")
+    cfg = SMALL
+    r = np.random.RandomState(6)
+    params = llama.init_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    B, P, max_len = 2, 5, 10
+    prefix = jnp.asarray(r.randn(B, P, cfg.hidden_size) * 0.2, jnp.float32)
+    kw = dict(
+        max_len=max_len, stop_token_id=-1, greedy=False, top_p=0.9,
+        temperature=1.3, top_k=7, cache_dtype="float32",
+        rng=jax.random.PRNGKey(7),
+    )
+    out_p = gen.generate(params, cfg, prefix, fused_decode=True, **kw)
+    out_e = gen.generate(params, cfg, prefix, fused_decode=False, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(out_p.tokens), np.asarray(out_e.tokens))
+
+
+def test_cascade_compaction_through_packed_cache(monkeypatch):
+    """generate_cascade's _compact_state must gather the PackedKVCache's
+    kv/scale fields; trimmed rows match the static packed path."""
+    monkeypatch.setenv("MELLOW_TPU_FORCE_FUSED_DECODE", "interpret")
+    cfg = SMALL
+    r = np.random.RandomState(8)
+    params = llama.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    B, P, max_len = 4, 5, 16
+    prefix = jnp.asarray(r.randn(B, P, cfg.hidden_size) * 0.2, jnp.float32)
+    # Find a token some rows emit early: run static first, use its most
+    # common first token as the stop id so the cascade compacts.
+    probe = gen.generate(params, cfg, prefix, max_len=max_len,
+                         stop_token_id=-1, greedy=True,
+                         cache_dtype="float32", fused_decode=True)
+    stop_id = int(np.asarray(probe.tokens)[0, 2])
+    kw = dict(max_len=max_len, stop_token_id=stop_id, greedy=True,
+              cache_dtype="float32")
+    static = gen.generate(params, cfg, prefix, fused_decode=True, **kw)
+    casc = gen.generate_cascade(params, cfg, prefix, fused_decode=True,
+                                min_batch=1, **kw)
+    st, ct = np.asarray(static.tokens), np.asarray(casc.tokens)
+    for b in range(B):
+        row_s, row_c = st[b], ct[b]
+        idx = np.nonzero(row_s == stop_id)[0]
+        n = idx[0] if len(idx) else len(row_s)
+        np.testing.assert_array_equal(row_c[:n], row_s[:n], err_msg=f"row {b}")
