@@ -30,9 +30,7 @@ punctuation strip both metric families use.
 from __future__ import annotations
 
 import collections
-import json
 import math
-import re
 import string
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple

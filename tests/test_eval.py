@@ -6,7 +6,6 @@ and an end-to-end run_eval through the wrapper."""
 import json
 
 import numpy as np
-import pytest
 import jax
 
 from mellow_tpu import eval as ev

@@ -9,13 +9,12 @@ import sys
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import torch
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from tools.convert_ckpt import convert_encoder_bundle, convert_llama  # noqa: E402
-from tools.export_ckpt import export_encoder_bundle, export_llama, export_mellow  # noqa: E402
+from tools.export_ckpt import export_mellow  # noqa: E402
 from tests.oracles import torch_htsat as enc_oracle  # noqa: E402
 from tests.oracles.hf_llama import build_hf_model  # noqa: E402
 from mellow_tpu.config import LlamaConfig  # noqa: E402
