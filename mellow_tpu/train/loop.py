@@ -33,6 +33,7 @@ def train(
     seed: int = 0,
     remat: bool = False,
     mixup: bool = False,  # reference htsat.py:871-874 train-time mixup
+    accum_steps: int = 1,  # gradient accumulation (micro-batch scan)
 ) -> step_mod.TrainState:
     optimizer = step_mod.make_optimizer(learning_rate=learning_rate)
     # Private copy: train_step donates its state, which would otherwise
@@ -67,9 +68,9 @@ def train(
                 batch = {k: jax.device_put(v, batch_sharding) for k, v in batch.items()}
             step_rng = jax.random.fold_in(rng, step_count)
             with metrics.timer("train_step"):
-                state, m = step_mod.train_step(
-                    state, cfg, optimizer, batch, step_rng, remat=remat,
-                    mixup=mixup,
+                state, m = step_mod.train_step_accum(
+                    state, cfg, optimizer, batch, step_rng,
+                    accum_steps=accum_steps, remat=remat, mixup=mixup,
                 )
             step_count += 1
             metrics.count("train_steps", 1)

@@ -242,3 +242,43 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
     monkeypatch.setattr(compile_cache, "_enabled", False)
     monkeypatch.setenv("MELLOW_TPU_COMPILE_CACHE", "off")
     assert compile_cache.enable() is None
+
+
+def test_grad_accumulation_matches_single_step():
+    """train_step_accum(accum=2) must match train_step on the same batch
+    when micro-batches carry equal answer-token counts (equal-weight
+    averaging == token-weight averaging there)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mellow_tpu.train import step as step_mod
+
+    cfg = SMALL
+    params = jmellow.init_params(jax.random.PRNGKey(0), cfg)
+    opt = step_mod.make_optimizer(learning_rate=1e-3)
+    rng = np.random.RandomState(0)
+    B, T = 4, 6
+    batch = {
+        "audio1": jnp.asarray(rng.randn(B, 320000) * 0.05, jnp.float32),
+        "audio2": jnp.asarray(rng.randn(B, 320000) * 0.05, jnp.float32),
+        "text_ids": jnp.asarray(rng.randint(2, 60, (B, cfg.text_tokenization_len)), jnp.int32),
+        "answer_ids": jnp.asarray(rng.randint(2, 60, (B, T)), jnp.int32),
+        "answer_mask": jnp.ones((B, T), jnp.float32),
+    }
+    # rng=None disables the stochastic paths (dropout/SpecAugment): the
+    # micro-batch rng folds would otherwise draw different masks than the
+    # single full-batch step by design.
+    # train_step donates its state: each state needs a private param copy.
+    s1 = step_mod.init_train_state(jax.tree.map(jnp.array, params), opt)
+    s1, m1 = step_mod.train_step(s1, cfg, opt, batch, None)
+    s2 = step_mod.init_train_state(jax.tree.map(jnp.array, params), opt)
+    s2, m2 = step_mod.train_step_accum(
+        s2, cfg, opt, batch, None, accum_steps=2
+    )
+    np.testing.assert_allclose(
+        float(m2["loss"]), float(m1["loss"]), rtol=2e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
