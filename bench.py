@@ -21,6 +21,7 @@ north-star floors. Random weights are used (no checkpoint reachable
 offline) — throughput is weight-value independent.
 """
 
+import functools
 import json
 import sys
 import time
@@ -162,11 +163,11 @@ def main():
     # ------------------------------------------------------------------
     # 2) encoder clips/sec/chip
     # ------------------------------------------------------------------
-    Be, reps = 32, 10
+    Be = 32
     wave = jnp.asarray(rng.randn(Be, 320000) * 0.1, dtype)
 
-    @jax.jit
-    def enc_loop(p, w):
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def enc_loop(p, w, reps):
         # reps chained encoder passes inside ONE program: amortizes the
         # host<->device dispatch RTT that dominates single-call timing on
         # a tunneled chip. Params travel as a jit ARGUMENT — closing over
@@ -184,10 +185,20 @@ def main():
             return jnp.sum(r.astype(jnp.float32)) * 1e-12
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    float(enc_loop(params, wave))
-    t0 = time.time()
-    float(enc_loop(params, wave))
-    dt = (time.time() - t0) / reps
+    # Slope between two chained lengths, min of 3 — the same methodology
+    # as decode (a single fixed-length sample carries the tunnel RTT and
+    # any one-time weight prefetches, ±7% run-to-run).
+    float(enc_loop(params, wave, 2))
+    float(enc_loop(params, wave, 10))
+    b2 = b10 = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        float(enc_loop(params, wave, 2))
+        b2 = min(b2, time.time() - t0)
+        t0 = time.time()
+        float(enc_loop(params, wave, 10))
+        b10 = min(b10, time.time() - t0)
+    dt = (b10 - b2) / 8
     clips_per_s = Be / dt
     enc_fl = clips_per_s * rf.encoder_flops(cfg)
     log(f"encoder: B={Be} time={dt:.3f}s/pass -> {clips_per_s:,.0f} clips/s | "
