@@ -425,8 +425,11 @@ def prefill(
     running the layer scan as B/chunk sequential chunks keeps every chunk
     on the standard layout. Measured at B=256 int8/int8, prefill+16 steps:
     off 433 ms, 128 -> 397, 64 -> 370, 32 -> 357 (1.21x; per-op profile
-    shows all-standard layouts and zero repair copies at 32). None = auto
-    (32 when B > 128 on TPU — B <= 128 never flips and stays monolithic);
+    shows all-standard layouts and zero repair copies at 32). Re-swept
+    after the fused attn/MLP blocks + W8A8 landed (they shifted the
+    per-chunk balance): 16 -> 317, 32 -> 316, 64 -> 308, 128 -> 313 ms —
+    64 is the new optimum. None = auto
+    (64 when B > 128 on TPU — B <= 128 never flips and stays monolithic);
     0 disables (sharded runs: a slice along the DP-sharded batch axis
     would force cross-device gathers — the wrapper passes 0 when a mesh is
     active, where per-device batches are small anyway).
@@ -492,7 +495,7 @@ def prefill(
     if use_fused_mlp:
         mlp_mode = 2 if (quantized_w and w8a8) else 1
     if chunk is None:
-        chunk = 32 if (on_tpu and B > 128) else 0
+        chunk = 64 if (on_tpu and B > 128) else 0
 
     def commit(cache: KVCache, ks, vs, b0: int) -> KVCache:
         # Pad to the cache's lane-aligned packed dim (KVCache.packed_dim)
