@@ -3,8 +3,10 @@ UX without the HTTP server; see mellow_tpu/server.py for the
 /generate_stream endpoint). The reference's loop returns only at the end
 (mellow/wrapper.py:216-256)."""
 
+import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 from examples.common import AUDIO1, AUDIO2, build_wrapper
 
 if __name__ == "__main__":
