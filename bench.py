@@ -123,11 +123,14 @@ def main():
         tps = B / per_step
         prefill_s = max(t_short - SHORT * per_step, 1e-9)
         e2e_tps = B * LONG / t_long
+        # Match the window generate() actually ran (batch-adaptive default;
+        # W feeds the fused-decode gate, hence the roofline denominator).
+        W = gen._effective_window(None, LONG, True, B)
         byts = rf.decode_step_bytes(
             cfg.decoder, B, s_max, cache_dtype,
             "int8" if w8a8 else weight_dtype,  # weights stream int8 either way
             fused_decode=gen._fused_decode_auto(
-                cfg.decoder, "llama", dtype, cache_dtype, B, s_max, 8
+                cfg.decoder, "llama", dtype, cache_dtype, B, s_max, W
             ),
         )
         flops = rf.decode_step_flops(cfg.decoder, B, s_max)

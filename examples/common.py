@@ -21,29 +21,10 @@ AUDIO2 = "/root/reference/resource/2.wav"
 
 
 def build_wrapper(config: str = "v0", model: str = "v0"):
-    from mellow_tpu.wrapper import MellowWrapper
+    # Shared with the eval runner / console scripts: mellow_tpu.cli.
+    from mellow_tpu.cli import build_wrapper as _build
 
-    try:
-        return MellowWrapper(config, model, 0)
-    except RuntimeError as e:
-        if "No weights available" not in str(e):
-            raise
-        print(
-            "[examples] no checkpoint reachable — using RANDOM weights and "
-            "the byte tokenizer (pipeline demo only; set MELLOW_TPU_PARAMS "
-            "for real outputs)",
-            file=sys.stderr,
-        )
-        import jax
-
-        from mellow_tpu.config import get_config
-        from mellow_tpu.io.tokenizer import ByteTokenizer
-        from mellow_tpu.models import mellow as mellow_model
-
-        params = mellow_model.init_params(jax.random.PRNGKey(0), get_config(config))
-        return MellowWrapper(
-            config, model, 0, params=params, tokenizer=ByteTokenizer()
-        )
+    return _build(config, model)
 
 
 def run(wrapper, examples, max_len=300, top_p=0.8, temperature=1.0):

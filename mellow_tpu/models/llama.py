@@ -588,7 +588,7 @@ class PackedKVCache(NamedTuple):
     (ops/pallas_decode_attention.py — see its module docstring for the
     measured rationale; the short version: decode streams the whole cache
     every step, the split K/V layout's 256-lane rows carry 25% explicit
-    tile pad, and the packed [K_g|V_g]-per-group 384-lane rows carry
+    tile pad, and the packed flat-[K|V] 384-lane rows carry
     none, read once by the kernel at the HBM roofline).
 
     kv:     (L, B, S8, P2) int8 or float; P2 = 2 * KV_heads * head_dim;

@@ -6,7 +6,7 @@ bandwidth. The einsum formulation (llama.decode_step) reads K and V from
 separate (L, B, S, 256) buffers whose packed lane dim is 192 useful + 64
 explicit tile pad (llama.KVCache.packed_dim) — 25% of every cache byte is
 pad. This kernel consumes a single (L, B, S8, P2) buffer laid out as
-KV-head groups of [K_g(64) | V_g(64)] — zero pad (P2 = 384 = 3 exact
+flat [K | V] halves — zero pad (P2 = 384 = 3 exact
 128-lane tiles at the production shape) — in ONE pass per (layer,
 batch-chunk): scores, fp32 softmax over the flushed cache, and the value
 contraction all happen on-chip; only (B, 16, P2) bf16 returns to HBM.
@@ -41,17 +41,20 @@ floor. Either way the manual double-buffered DMA (2-slot VMEM scratch,
 8-row chunks, next chunk's copy issued before the current chunk's wait)
 keeps the stream at the roofline.
 
-Layout contract (P2 = KV_heads * 2 * head_dim lanes; group g occupies
-lanes [g*GW, (g+1)*GW), GW = 2*head_dim, K in the low half, V in the high
-half — lane-sharding the last dim across KV heads keeps each TP shard a
-whole [K_g|V_g] block, parallel/sharding.py):
+Layout contract (P2 = 2 * KV_heads * head_dim lanes, split into FLAT
+halves: lanes [0, KL) hold the packed K row, [KL, P2) the packed V row,
+KL = KV_heads * head_dim — the layout llama._pack_kv_rows/PackedKVCache
+produce with one minor-dim concat. A per-group interleaved [K_g|V_g]
+layout was tried first for TP lane-shardability and dropped: its
+pack/unpack needs 6D reshapes whose batch-minor copies cost ~50 ms at
+the B=256 prefill commit; see PackedKVCache's docstring):
   q_dense: (B, HP, P2) bf16, HP = num_heads padded up to a multiple of 8
            (M=9 dots trip a Mosaic skinny-M 'vector.broadcast' bug).
-           Head h = (g, r) holds its RoPE'd query at lanes
-           [g*GW, g*GW + hd); all other lanes (including every V lane)
-           are zero, so contracting all P2 lanes of a packed row yields
-           head h's score against KV head g only. Pad rows are zeros;
-           their outputs are garbage (discarded by the caller).
+           Head h = (g, r) holds its RoPE'd query at K-half lanes
+           [g*hd, (g+1)*hd); all other lanes (including the whole V
+           half) are zero, so contracting all P2 lanes of a packed row
+           yields head h's score against KV head g only. Pad rows are
+           zeros; their outputs are garbage (discarded by the caller).
   kv:      (L, B, S8, P2) int8 or float; S8 % 8 == 0 (manual HBM slices
            need sublane-aligned memrefs).
   scale:   (L, B, 2*SP) f32 or None (float cache). SP = S8 rounded up to
@@ -63,10 +66,10 @@ whole [K_g|V_g] block, parallel/sharding.py):
            kernel serves every window sub-step. Extras always use bf16
            dots (EP is tiny).
 Returns o: (B, HP, P2) bf16, softmax-normalized jointly over cache and
-extras. Lanes [g*GW + hd, (g+1)*GW) of row h hold head h's output
-against group g — the caller keeps each head's own group block (same
-eye-einsum as the einsum path); K-lane columns are garbage weight sums,
-dropped.
+extras. V-half lanes [KL + g*hd, KL + (g+1)*hd) of row h = (g, r) hold
+head h's output — the caller slices [:, :H, KL:] and keeps each head's
+own group block (same eye-einsum as the einsum path); K-half columns are
+garbage weight sums, dropped.
 
 int8 numerics (int8 caches only — bf16 caches match the einsum math):
 scores use per-head-row symmetric int8 q (qmax/127 folds into the score

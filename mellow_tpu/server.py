@@ -31,6 +31,7 @@ MELLOW_TPU_PARAMS, like everywhere else).
 from __future__ import annotations
 
 import base64
+import itertools
 import json
 import os
 import shutil
@@ -234,13 +235,20 @@ class MellowServer:
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
                 try:
-                    for ev in [first, *events]:
+                    # Lazy iteration: each flush window's event is written
+                    # as soon as the device produces it ([first, *events]
+                    # would drain the generator before sending anything,
+                    # turning the stream into one final burst).
+                    for ev in itertools.chain([first], events):
                         self.wfile.write(
                             b"data: " + json.dumps(ev).encode() + b"\n\n"
                         )
                         self.wfile.flush()
                 except (BrokenPipeError, ConnectionResetError):
-                    pass  # client went away mid-stream
+                    # Client went away mid-stream: close the generator so
+                    # its finally block releases _stream_lock and deletes
+                    # temp wavs now rather than at GC time.
+                    events.close()
 
         return ThreadingHTTPServer((host, port), Handler)
 

@@ -165,7 +165,7 @@ class MellowWrapper:
     def _convert_torch_ckpt(self, ckpt_path: str):
         import torch  # converter-only dependency
 
-        from tools.convert_ckpt import convert_mellow
+        from mellow_tpu.tools.convert_ckpt import convert_mellow
 
         sd = torch.load(ckpt_path, map_location="cpu")
         if any(k.startswith("module.") for k in sd):

@@ -183,6 +183,52 @@ def test_generate_stream_sse(server_url):
     assert events[-1]["text"] == direct["text"]
 
 
+def test_generate_stream_is_incremental(server_url):
+    """Events are written as windows are produced, not in one final burst.
+
+    A stub generate_stream blocks before its last window; the client must
+    receive the first SSE event while the stub is still blocked (the old
+    ``[first, *events]`` handler drained the whole generator first, so
+    this read would have timed out)."""
+    url, wrapper, srv = server_url
+    gate = threading.Event()
+    produced = []
+
+    def fake_stream(examples, **kw):
+        yield ["a"]
+        yield ["ab"]  # handler emits the event for "a" after this window
+        produced.append("pre-gate")
+        gate.wait(timeout=60)
+        yield ["abc"]
+
+    real = srv.wrapper
+    srv.wrapper = type("W", (), {"generate_stream": staticmethod(fake_stream)})()
+    try:
+        body = {"audio1": REF_WAV1, "audio2": REF_WAV2, "prompt": "x"}
+        req = urllib.request.Request(
+            url + "/generate_stream",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            line = resp.readline().decode().strip()
+            while not line.startswith("data: "):
+                line = resp.readline().decode().strip()
+            first = json.loads(line[len("data: "):])
+            assert first == {"text": "a", "done": False}
+            assert not gate.is_set()  # producer still blocked -> incremental
+            gate.set()
+            rest = [
+                json.loads(l[len("data: "):])
+                for l in (r.decode().strip() for r in resp)
+                if l.startswith("data: ")
+            ]
+        assert rest[-1] == {"text": "abc", "done": True}
+    finally:
+        gate.set()
+        srv.wrapper = real
+
+
 def test_generate_stream_error_before_sse(server_url):
     url, wrapper, srv = server_url
     body = {"audio1": "/nonexistent.wav", "audio2": REF_WAV2, "prompt": "x"}

@@ -1,2 +1,3 @@
-"""Offline tools: checkpoint converters (torch allowed here only,
-SURVEY.md section 5.4) and the ReasonAQA evaluation runner."""
+"""Back-compat shims: the real tool modules live in ``mellow_tpu.tools``
+(namespaced so the installed wheel does not ship a generic top-level
+``tools`` package). Repo-internal ``tools.X`` imports keep working."""
