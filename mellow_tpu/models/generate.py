@@ -44,6 +44,15 @@ def seen_mask(tokens: jax.Array, valid: jax.Array, vocab_size: int) -> jax.Array
     ].max(jnp.broadcast_to(valid, tokens.shape))
 
 
+def _apply_penalty(logits, seen, repetition_penalty):
+    """CTRL/HF repetition penalty: divide positive, multiply negative
+    logits of already-seen tokens."""
+    pen = jnp.where(
+        logits > 0, logits / repetition_penalty, logits * repetition_penalty
+    )
+    return jnp.where(seen, pen, logits)
+
+
 def warp_logits(
     logits: jax.Array,  # (B, V)
     *,
@@ -68,11 +77,7 @@ def warp_logits(
         return isinstance(x, (int, float))
 
     if seen is not None and not (_concrete(repetition_penalty) and repetition_penalty == 1.0):
-        # CTRL/HF convention: divide positive, multiply negative logits.
-        pen = jnp.where(
-            logits > 0, logits / repetition_penalty, logits * repetition_penalty
-        )
-        logits = jnp.where(seen, pen, logits)
+        logits = _apply_penalty(logits, seen, repetition_penalty)
     # x / 1.0 is a bit-exact identity, so the division applies unconditionally.
     logits = logits / jnp.maximum(temperature, 1e-6)
     sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]

@@ -276,18 +276,40 @@ def _layer(
         # + residual) in ONE Pallas program per batch row — removes the
         # h/q/k/v HBM round-trips and the VPU norm/rope fusion chain that
         # the per-op profile attributed the remaining prefill MFU gap to
-        # (benchmarks/README.md). int8 weights are dequantized per layer
-        # outside the kernel (negligible; prefill is compute-bound and a
-        # bf16-weight A/B measured no difference).
-        from mellow_tpu.ops.pallas_attn_block import fused_attn_block
+        # (benchmarks/README.md). In w8a8 mode (mlp_mode 2) the block runs
+        # every dot on the int8 MXU path (2x bf16 — the r4 ablation showed
+        # both the projection half and the hd=64 attention core are
+        # MXU-bound, benchmarks/exp_attn_block_parts.py); otherwise int8
+        # weights are dequantized per layer outside the kernel (negligible;
+        # a bf16-weight A/B measured no difference).
+        import os
 
-        x, kpk, vpk = fused_attn_block(
-            x, lp["ln_attn"],
-            _deq_weight(lp["wq"], x.dtype), _deq_weight(lp["wk"], x.dtype),
-            _deq_weight(lp["wv"], x.dtype), _deq_weight(lp["wo"], x.dtype),
-            cos, sin, num_heads=H, num_kv_heads=KV, head_dim=hd,
-            eps=cfg.rms_norm_eps,
-        )
+        if (
+            mlp_mode == 2
+            and isinstance(lp["wq"], dict)
+            and not os.environ.get("MELLOW_TPU_DISABLE_W8A8_ATTN")
+        ):
+            from mellow_tpu.ops.pallas_attn_block import fused_attn_block_w8a8
+
+            x, kpk, vpk = fused_attn_block_w8a8(
+                x, lp["ln_attn"],
+                lp["wq"]["q"], lp["wq"]["scale"],
+                lp["wk"]["q"], lp["wk"]["scale"],
+                lp["wv"]["q"], lp["wv"]["scale"],
+                lp["wo"]["q"], lp["wo"]["scale"],
+                cos, sin, num_heads=H, num_kv_heads=KV, head_dim=hd,
+                eps=cfg.rms_norm_eps,
+            )
+        else:
+            from mellow_tpu.ops.pallas_attn_block import fused_attn_block
+
+            x, kpk, vpk = fused_attn_block(
+                x, lp["ln_attn"],
+                _deq_weight(lp["wq"], x.dtype), _deq_weight(lp["wk"], x.dtype),
+                _deq_weight(lp["wv"], x.dtype), _deq_weight(lp["wo"], x.dtype),
+                cos, sin, num_heads=H, num_kv_heads=KV, head_dim=hd,
+                eps=cfg.rms_norm_eps,
+            )
         k = kpk.reshape(B, S, KV, hd)
         v = vpk.reshape(B, S, KV, hd)
         return _mlp_half(cfg, x, lp, mlp_mode), (k, v)

@@ -13,15 +13,18 @@ out.
 
 RoPE without lane shuffles: Mosaic cannot concatenate vectors with
 differing lane offsets (CLAUDE.md), so ``rotate_half`` is expressed as a
-matmul against a constant block-diagonal permutation-with-sign matrix P
-(one 64x64 block per head):
+matmul against a constant 64x64 permutation-with-sign block P, applied
+PER HEAD on 64-lane ref slices:
 
-    rotate_half(x) == x @ P,   rope(x) = x * cos + (x @ P) * sin
+    rotate_half(x_h) == x_h @ P,   rope(x_h) = x_h * cos + (x_h @ P) * sin
 
-with cos/sin pre-tiled to the packed width. P's matmul is exact (values
-are only moved/negated) and its FLOPs are negligible next to the score
-matmuls; on the MXU it replaces the slice/negate/concat VPU chain that
-the unfused path pays.
+P's dot is exact (values are only moved/negated). r3 shipped this as one
+packed-width block-diagonal (H*hd, H*hd) matmul; the r4 per-op profile
+showed that single dot costs as much as the whole wq projection (260
+MFLOP/row — 22% of the block's FLOPs), while H per-head (SP, 64) @
+(64, 64) dots do the same work in 29 MFLOP/row and need no pre-tiled
+cos/sin operands. Head slices of the q/k scratch refs are the same
+64-lane partial-tile accesses the attention loop already uses.
 
 Semantics mirrored 1:1 from llama._layer's attention half
 (models/llama.py): rms_norm in fp32 with the same eps placement, bf16
@@ -44,23 +47,36 @@ _NEG = -1e30
 
 
 def rotate_half_matrix(num_heads: int, head_dim: int) -> np.ndarray:
-    """(H*hd, H*hd) block-diagonal P with x @ P == rotate_half per head
-    (HF half-split convention: out = concat(-x2, x1) within each head)."""
+    """(hd, hd) P with x_h @ P == rotate_half for one head (HF half-split
+    convention: out = concat(-x2, x1)). ``num_heads`` > 1 returns the
+    block-diagonal packed-width version (kept for the parity tests /
+    external callers; the kernel applies the single block per head)."""
     hd = head_dim
     half = hd // 2
     blk = np.zeros((hd, hd), np.float32)
     for i in range(half):
         blk[i + half, i] = -1.0  # out[:half] = -x2
         blk[i, i + half] = 1.0  # out[half:] = x1
+    if num_heads == 1:
+        return blk
     P = np.zeros((num_heads * hd, num_heads * hd), np.float32)
     for h in range(num_heads):
         P[h * hd : (h + 1) * hd, h * hd : (h + 1) * hd] = blk
     return P
 
 
+def _rope_heads(ref, n_heads, hd, cos, sin, blk_ref, mm):
+    """Apply rope in place to ``ref`` (SP, n_heads*hd): per-head 64-lane
+    slices, rotate_half as one (SP, hd) @ (hd, hd) dot each."""
+    for h in range(n_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        xh = ref[:, sl]
+        ref[:, sl] = xh * cos + mm(xh, blk_ref) * sin
+
+
 def _kernel(
     x_ref, ln_ref, wq_ref, wk_ref, wv_ref, wo_ref,
-    cosq_ref, sinq_ref, cosk_ref, sink_ref, pq_ref, pk_ref,
+    cos_ref, sin_ref, p_ref,
     out_ref, k_ref, v_ref,
     q_s, k_s, v_s, o_s,
     *, H, KV, hd, eps, scale, SP, S_real,
@@ -81,12 +97,13 @@ def _kernel(
             preferred_element_type=f32,
         ).astype(a.dtype)
 
-    # --- projections + rope (rotate_half as a permutation matmul) ---
-    q = mm(h, wq_ref)  # (SP, H*hd)
-    k = mm(h, wk_ref)  # (SP, KV*hd)
+    # --- projections + rope (rotate_half as per-head (hd, hd) dots) ---
+    q_s[...] = mm(h, wq_ref)  # (SP, H*hd)
+    k_s[...] = mm(h, wk_ref)  # (SP, KV*hd)
     v = mm(h, wv_ref)
-    q_s[...] = q * cosq_ref[...] + mm(q, pq_ref) * sinq_ref[...]
-    k_s[...] = k * cosk_ref[...] + mm(k, pk_ref) * sink_ref[...]
+    cos, sin = cos_ref[...], sin_ref[...]  # (SP, hd)
+    _rope_heads(q_s, H, hd, cos, sin, p_ref, mm)
+    _rope_heads(k_s, KV, hd, cos, sin, p_ref, mm)
     if SP > S_real:
         # zero V's OOB rows: their softmax weights are exact zeros, but
         # 0 * garbage-NaN would still poison the value dot.
@@ -157,14 +174,11 @@ def fused_attn_block(
     dt = x.dtype
 
     # Tables padded to SP rows on the host side of the trace (cheap, once
-    # per compile); tiled to the packed widths.
+    # per compile); cos pad rows are 1 / sin 0 so pad rows pass through.
     pad = SP - S
     cosp = jnp.pad(cos.astype(dt), ((0, pad), (0, 0)), constant_values=1.0)
     sinp = jnp.pad(sin.astype(dt), ((0, pad), (0, 0)))
-    cosq, sinq = jnp.tile(cosp, (1, H)), jnp.tile(sinp, (1, H))
-    cosk, sink = jnp.tile(cosp, (1, KV)), jnp.tile(sinp, (1, KV))
-    pq = jnp.asarray(rotate_half_matrix(H, hd), dt)
-    pk = jnp.asarray(rotate_half_matrix(KV, hd), dt)
+    blk = jnp.asarray(rotate_half_matrix(1, hd), dt)
 
     row = lambda b: (b, 0, 0)  # noqa: E731
     whole = lambda b: (0, 0)  # noqa: E731
@@ -183,12 +197,9 @@ def fused_attn_block(
             pl.BlockSpec((D, KV * hd), whole, memory_space=V),
             pl.BlockSpec((D, KV * hd), whole, memory_space=V),
             pl.BlockSpec((H * hd, D), whole, memory_space=V),
-            pl.BlockSpec((SP, H * hd), whole, memory_space=V),
-            pl.BlockSpec((SP, H * hd), whole, memory_space=V),
-            pl.BlockSpec((SP, KV * hd), whole, memory_space=V),
-            pl.BlockSpec((SP, KV * hd), whole, memory_space=V),
-            pl.BlockSpec((H * hd, H * hd), whole, memory_space=V),
-            pl.BlockSpec((KV * hd, KV * hd), whole, memory_space=V),
+            pl.BlockSpec((SP, hd), whole, memory_space=V),
+            pl.BlockSpec((SP, hd), whole, memory_space=V),
+            pl.BlockSpec((hd, hd), whole, memory_space=V),
         ],
         out_specs=[
             pl.BlockSpec((1, SP, D), row, memory_space=V),
@@ -214,7 +225,209 @@ def fused_attn_block(
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=B * H * SP * SP,
         ),
-    )(x, ln_w, wq, wk, wv, wo, cosq, sinq, cosk, sink, pq, pk)
+    )(x, ln_w, wq, wk, wv, wo, cosp, sinp, blk)
+    return out, kk, vv
+
+
+def _rowquant(h):
+    """Per-row symmetric int8 quantization (pallas_mlp_block._rowquant) on
+    VMEM-resident fp32 data. Returns (int8 values, fp32 scale (SP, 1))."""
+    amax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(h / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _kernel_w8a8(
+    x_ref, ln_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+    sq_ref, sk_ref, sv_ref, so_ref,
+    cos_ref, sin_ref, p_ref,
+    out_ref, k_ref, v_ref,
+    q_s, k_s, v_s, o_s,
+    *, H, KV, hd, eps, scale, SP, S_real,
+):
+    """W8A8 variant: every dot runs on the int8 MXU path (2x the bf16
+    rate — the r4 ablation showed both the projection half (62% MFU) and
+    the attention core (43%, structurally capped at 50% by the hd=64
+    dots' K/N=64) are MXU-bound, so int8 is the only lever left).
+
+      * qkv/o: per-row int8 activations x per-out-column int8 weights,
+        int32 accumulate (exactly pallas_mlp_block._kernel_w8a8's scheme).
+      * scores: per-(row, head) int8 q x per-group SCALAR-scale int8 k —
+        a scalar k scale avoids the (SP, 1) -> (1, SP) on-chip transpose
+        a per-position k scale would need (the decode kernel gets
+        per-position scales precomputed in lane layout from the cache;
+        here k is fresh).
+      * value dot: softmax weights quantized at the fixed scale 127
+        (they live in [0, 1]) x scalar-scale int8 v — the decode kernel's
+        scheme (pallas_decode_attention.py int8 numerics note).
+
+    All further lossy steps beyond weight-only int8, so this kernel backs
+    the OPT-IN w8a8 mode only; bench.py reports the resulting token
+    agreement alongside the int8 modes."""
+    f32 = jnp.float32
+    x = x_ref[0]  # (SP, D)
+
+    xf = x.astype(f32)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True)
+    h = xf * jax.lax.rsqrt(var + eps) * ln_ref[...].astype(f32)
+    h8, hs = _rowquant(h)
+
+    def mm8(a8, b_ref):
+        return jax.lax.dot_general(
+            a8, b_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(f32)
+
+    def mm(a, b_ref):
+        return jax.lax.dot_general(
+            a, b_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(a.dtype)
+
+    dt = x.dtype
+    q_s[...] = (mm8(h8, wq_ref) * hs * sq_ref[...].astype(f32)).astype(dt)
+    k_s[...] = (mm8(h8, wk_ref) * hs * sk_ref[...].astype(f32)).astype(dt)
+    v = (mm8(h8, wv_ref) * hs * sv_ref[...].astype(f32)).astype(dt)
+    cos, sin = cos_ref[...], sin_ref[...]  # (SP, hd)
+    _rope_heads(q_s, H, hd, cos, sin, p_ref, mm)
+    _rope_heads(k_s, KV, hd, cos, sin, p_ref, mm)
+    if SP > S_real:
+        vrows = jax.lax.broadcasted_iota(jnp.int32, (SP, KV * hd), 0)
+        v = jnp.where(vrows < S_real, v, jnp.zeros_like(v))
+    v_s[...] = v
+
+    # Attention core: bf16 dots, same as _kernel. (A fully-int8 core —
+    # per-row q / scalar-scale k/v / fixed-127 softmax weights — was
+    # measured SLOWER: 15.1 vs 13.7 us/row at B=64/S=389. The hd=64 dots'
+    # K/N=64 cap doesn't lift under int8, and the per-head quantize VPU
+    # chains add on top; benchmarks/exp_attn_block_parts.py.)
+    rep = H // KV
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 1)
+    causal = rows >= cols
+    for g in range(KV):
+        k_g = k_s[:, g * hd : (g + 1) * hd]  # (SP, hd)
+        v_g = v_s[:, g * hd : (g + 1) * hd]
+        for r in range(rep):
+            hh = g * rep + r
+            q_h = q_s[:, hh * hd : (hh + 1) * hd]
+            s = jax.lax.dot_general(
+                q_h, k_g, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) * scale
+            s = jnp.where(causal, s, _NEG)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            denom = jnp.sum(e, axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                e.astype(dt), v_g, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            o_s[:, hh * hd : (hh + 1) * hd] = (o / denom).astype(dt)
+
+    o8, os = _rowquant(o_s[...].astype(f32))
+    out_ref[0] = x + (mm8(o8, wo_ref) * os * so_ref[...].astype(f32)).astype(
+        dt
+    )
+    k_ref[0] = k_s[...]
+    v_ref[0] = v_s[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "num_kv_heads", "head_dim", "eps", "interpret",
+    ),
+)
+def fused_attn_block_w8a8(
+    x: jax.Array,  # (B, S, D) — raw layer input (pre-norm)
+    ln_w: jax.Array,  # (D,)
+    wq_q: jax.Array,  # (D, H*hd) int8 (llama.quantize_weight layout)
+    wq_s: jax.Array,  # (H*hd,) fp32 per-out-column scale
+    wk_q: jax.Array,
+    wk_s: jax.Array,
+    wv_q: jax.Array,
+    wv_s: jax.Array,
+    wo_q: jax.Array,  # (H*hd, D) int8
+    wo_s: jax.Array,  # (D,)
+    cos: jax.Array,  # (S, hd)
+    sin: jax.Array,
+    *,
+    num_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    eps: float,
+    interpret: bool = False,
+):
+    """W8A8 attention block (see _kernel_w8a8). Same contract as
+    ``fused_attn_block``: returns (out, k, v) with k/v in bf16 — cache
+    quantization stays the caller's (llama.prefill commit) business."""
+    B, S, D = x.shape
+    H, KV, hd = num_heads, num_kv_heads, head_dim
+    SP = -(-S // 32) * 32  # int8 min sublane tile is 32
+    scale = 1.0 / np.sqrt(hd)
+    dt = x.dtype
+
+    pad = SP - S
+    cosp = jnp.pad(cos.astype(dt), ((0, pad), (0, 0)), constant_values=1.0)
+    sinp = jnp.pad(sin.astype(dt), ((0, pad), (0, 0)))
+    blk = jnp.asarray(rotate_half_matrix(1, hd), dt)
+
+    row = lambda b: (b, 0, 0)  # noqa: E731
+    whole = lambda b: (0, 0)  # noqa: E731
+    vec = lambda b: (0,)  # noqa: E731
+    V = pltpu.VMEM
+    out, kk, vv = pl.pallas_call(
+        functools.partial(
+            _kernel_w8a8, H=H, KV=KV, hd=hd, eps=np.float32(eps),
+            scale=np.float32(scale), SP=SP, S_real=S,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, SP, D), row, memory_space=V),
+            pl.BlockSpec((D,), vec, memory_space=V),
+            pl.BlockSpec((D, H * hd), whole, memory_space=V),
+            pl.BlockSpec((D, KV * hd), whole, memory_space=V),
+            pl.BlockSpec((D, KV * hd), whole, memory_space=V),
+            pl.BlockSpec((H * hd, D), whole, memory_space=V),
+            pl.BlockSpec((1, H * hd), whole, memory_space=V),
+            pl.BlockSpec((1, KV * hd), whole, memory_space=V),
+            pl.BlockSpec((1, KV * hd), whole, memory_space=V),
+            pl.BlockSpec((1, D), whole, memory_space=V),
+            pl.BlockSpec((SP, hd), whole, memory_space=V),
+            pl.BlockSpec((SP, hd), whole, memory_space=V),
+            pl.BlockSpec((hd, hd), whole, memory_space=V),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, SP, D), row, memory_space=V),
+            pl.BlockSpec((1, SP, KV * hd), row, memory_space=V),
+            pl.BlockSpec((1, SP, KV * hd), row, memory_space=V),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, D), dt),
+            jax.ShapeDtypeStruct((B, S, KV * hd), dt),
+            jax.ShapeDtypeStruct((B, S, KV * hd), dt),
+        ],
+        scratch_shapes=[
+            V((SP, H * hd), dt),
+            V((SP, KV * hd), dt),
+            V((SP, KV * hd), dt),
+            V((SP, H * hd), dt),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * D * (H + 2 * KV) * hd
+            + 2 * 2 * B * H * SP * SP * hd
+            + 2 * B * S * H * hd * D,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=B * H * SP * SP,
+        ),
+    )(
+        x, ln_w, wq_q, wk_q, wv_q, wo_q,
+        wq_s.reshape(1, -1), wk_s.reshape(1, -1), wv_s.reshape(1, -1),
+        wo_s.reshape(1, -1), cosp, sinp, blk,
+    )
     return out, kk, vv
 
 
