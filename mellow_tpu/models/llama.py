@@ -257,7 +257,7 @@ def _mlp_half(cfg: LlamaConfig, x, lp, mlp_mode: int = 0):
 
 def _layer(
     cfg: LlamaConfig, x, lp, cos, sin, mask, kv_slot=None, use_flash=False,
-    use_fused=False, use_fused_block=False, mlp_mode=0,
+    use_fused=False, use_fused_block=False, mlp_mode=0, kv_quant=False,
 ):
     """One transformer layer.
 
@@ -291,28 +291,36 @@ def _layer(
         ):
             from mellow_tpu.ops.pallas_attn_block import fused_attn_block_w8a8
 
-            x, kpk, vpk = fused_attn_block_w8a8(
+            outs = fused_attn_block_w8a8(
                 x, lp["ln_attn"],
                 lp["wq"]["q"], lp["wq"]["scale"],
                 lp["wk"]["q"], lp["wk"]["scale"],
                 lp["wv"]["q"], lp["wv"]["scale"],
                 lp["wo"]["q"], lp["wo"]["scale"],
                 cos, sin, num_heads=H, num_kv_heads=KV, head_dim=hd,
-                eps=cfg.rms_norm_eps,
+                eps=cfg.rms_norm_eps, kv_quant=kv_quant,
             )
         else:
             from mellow_tpu.ops.pallas_attn_block import fused_attn_block
 
-            x, kpk, vpk = fused_attn_block(
+            outs = fused_attn_block(
                 x, lp["ln_attn"],
                 _deq_weight(lp["wq"], x.dtype), _deq_weight(lp["wk"], x.dtype),
                 _deq_weight(lp["wv"], x.dtype), _deq_weight(lp["wo"], x.dtype),
                 cos, sin, num_heads=H, num_kv_heads=KV, head_dim=hd,
-                eps=cfg.rms_norm_eps,
+                eps=cfg.rms_norm_eps, kv_quant=kv_quant,
             )
-        k = kpk.reshape(B, S, KV, hd)
-        v = vpk.reshape(B, S, KV, hd)
-        return _mlp_half(cfg, x, lp, mlp_mode), (k, v)
+        if kv_quant:
+            # int8-cache prefill: k/v come back already quantized packed
+            # (B, S, KV*hd) int8 + per-position scales in lane layout
+            # (B, 1, SP) — slice the real positions; the commit is then a
+            # pure dynamic_update_slice (no XLA-side quantize pass).
+            x, k8, v8, ksc, vsc = outs
+            kv = (k8, v8, ksc[:, 0, :S], vsc[:, 0, :S])
+        else:
+            x, kpk, vpk = outs
+            kv = (kpk.reshape(B, S, KV, hd), vpk.reshape(B, S, KV, hd))
+        return _mlp_half(cfg, x, lp, mlp_mode), kv
 
     with jax.named_scope("decoder/attn_proj"):
         h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
@@ -403,9 +411,11 @@ def logits_from_hidden(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
 
 
 def _prefill_scan(params, cfg: LlamaConfig, inputs_embeds, use_fused,
-                  use_fused_block=False, mlp_mode=0):
+                  use_fused_block=False, mlp_mode=0, kv_quant=False):
     """Layer scan over one batch chunk: returns (post-norm last hidden
-    (B, D), packed ks/vs (L, B, S, KV*hd))."""
+    (B, D), kv) where kv = (ks, vs) packed bf16 (L, B, S, KV*hd), or —
+    with ``kv_quant`` — (ks8, vs8, ksc, vsc): int8 rows + (L, B, S) fp32
+    scales, quantized inside the fused attention kernel."""
     B, S, D = inputs_embeds.shape
     cos_t, sin_t = rope_tables(cfg, S, inputs_embeds.dtype)
     cos, sin = jnp.asarray(cos_t), jnp.asarray(sin_t)
@@ -413,20 +423,22 @@ def _prefill_scan(params, cfg: LlamaConfig, inputs_embeds, use_fused,
     mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
 
     def body(x, lp):
-        x, (k, v) = _layer(cfg, x, lp, cos, sin, mask, use_fused=use_fused,
-                           use_fused_block=use_fused_block, mlp_mode=mlp_mode)
-        return x, (k, v)
+        x, kv = _layer(cfg, x, lp, cos, sin, mask, use_fused=use_fused,
+                       use_fused_block=use_fused_block, mlp_mode=mlp_mode,
+                       kv_quant=kv_quant)
+        return x, kv
 
-    x, (ks, vs) = jax.lax.scan(body, inputs_embeds, params["layers"])
-    # ks: (L, B, S, KV, hd) -> packed (L, B, S, KV*hd); (KV, hd) are adjacent
-    # so this is a pure view, no transpose.
-    L_, B_, S_ = ks.shape[:3]
-    ks = ks.reshape(L_, B_, S_, -1)
-    vs = vs.reshape(L_, B_, S_, -1)
+    x, kv = jax.lax.scan(body, inputs_embeds, params["layers"])
+    if not kv_quant:
+        # ks: (L, B, S, KV, hd) -> packed (L, B, S, KV*hd); (KV, hd) are
+        # adjacent so this is a pure view, no transpose.
+        ks, vs = kv
+        L_, B_, S_ = ks.shape[:3]
+        kv = (ks.reshape(L_, B_, S_, -1), vs.reshape(L_, B_, S_, -1))
     # Final norm is per-position: norm of the last row == last row of the
     # full norm, so only the row the decode loop consumes is computed.
     x_last = rms_norm(x[:, -1, :], params["norm_f"], cfg.rms_norm_eps)
-    return x_last, ks, vs
+    return x_last, kv
 
 
 def prefill(
@@ -516,8 +528,24 @@ def prefill(
     mlp_mode = 0
     if use_fused_mlp:
         mlp_mode = 2 if (quantized_w and w8a8) else 1
+    # int8-cache prefill: quantize k/v INSIDE the fused attention kernel
+    # (rows are VMEM-resident there) instead of a whole-stack XLA quantize
+    # at commit — the commit becomes a pure dynamic_update_slice. The
+    # XLA-side chain (quantize fusion + layout copy + pad) measured
+    # ~13 ms of the 176 ms B=256 prefill (r4 profile).
+    kv_quant = (
+        use_fused_block
+        and isinstance(cache, KVCache)
+        and cache.quantized
+        and not os.environ.get("MELLOW_TPU_DISABLE_KV_QUANT_KERNEL")
+    )
     if chunk is None:
-        chunk = 64 if (on_tpu and B > 128) else 0
+        # The B>128 batch-minor layout flip the chunking worked around was
+        # on the scan's stacked bf16 k/v ys; with kernel-quantized int8
+        # ys it is GONE and the monolithic scan is fastest (r4 re-sweep:
+        # chunk 0: 258 ms, 64: 265, 128: 269, 32: 272 — prefill+16 steps,
+        # B=256 w8a8). bf16-stack paths keep chunk=64 (r3 sweep).
+        chunk = 0 if kv_quant else (64 if (on_tpu and B > 128) else 0)
 
     def commit(cache: KVCache, ks, vs, b0: int) -> KVCache:
         # Pad to the cache's lane-aligned packed dim (KVCache.packed_dim)
@@ -554,16 +582,31 @@ def prefill(
             _prefill_scan(
                 params, cfg,
                 jax.lax.slice_in_dim(inputs_embeds, i * chunk, (i + 1) * chunk, axis=0),
-                use_fused, use_fused_block, mlp_mode,
+                use_fused, use_fused_block, mlp_mode, kv_quant,
             )
             for i in range(B // chunk)
         ]
         x = jnp.concatenate([p[0] for p in parts], axis=0)
-        ks = jnp.concatenate([p[1] for p in parts], axis=1)
-        vs = jnp.concatenate([p[2] for p in parts], axis=1)
+        kv = tuple(
+            jnp.concatenate([p[1][i] for p in parts], axis=1)
+            for i in range(len(parts[0][1]))
+        )
     else:
-        x, ks, vs = _prefill_scan(params, cfg, inputs_embeds, use_fused,
-                                  use_fused_block, mlp_mode)
+        x, kv = _prefill_scan(params, cfg, inputs_embeds, use_fused,
+                              use_fused_block, mlp_mode, kv_quant)
+    if kv_quant:
+        # Kernel-quantized k/v: commit is pure dynamic_update_slices. The
+        # k/v rows are 192-lane int8 written into the 256-lane cache rows
+        # (lanes beyond KV*hd stay zero, as KVCache.create left them).
+        ks8, vs8, ksc, vsc = kv
+        return x, KVCache(
+            jax.lax.dynamic_update_slice(cache.k, ks8, (0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(cache.v, vs8, (0, 0, 0, 0)),
+            jnp.asarray(S, jnp.int32),
+            jax.lax.dynamic_update_slice(cache.k_scale, ksc, (0, 0, 0)),
+            jax.lax.dynamic_update_slice(cache.v_scale, vsc, (0, 0, 0)),
+        )
+    ks, vs = kv
     if isinstance(cache, PackedKVCache):
         # Packed layout for the fused decode kernel: interleave per-group
         # [K_g | V_g] rows (quantizing k/v separately) instead of padding

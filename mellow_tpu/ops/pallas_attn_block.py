@@ -74,13 +74,54 @@ def _rope_heads(ref, n_heads, hd, cos, sin, blk_ref, mm):
         ref[:, sl] = xh * cos + mm(xh, blk_ref) * sin
 
 
+def _emit_quantized_kv(k_s, v_s, k_ref, v_ref, ksc_ref, vsc_ref, SP, S_real):
+    """int8-cache epilogue: quantize the roped k and v rows in VMEM
+    (llama.quantize_kv formula — symmetric per-position int8 over the
+    packed KV*hd lanes) and emit the per-row scales in LANE layout.
+
+    Why in-kernel: the XLA-side commit quantize read the full bf16 k/v
+    stacks back from HBM and spent ~13 ms at B=256 in quantize + layout
+    + pad fusions (r4 profile); here the rows are already VMEM-resident
+    and the kernel writes int8 (half the bytes) directly.
+
+    The scale comes out of the row reduction as an (SP, 1) sublane vector
+    but the cache contract stores scales per-position in the LANE dim
+    (llama.KVCache k_scale (L, B, S)); Mosaic has no vector transpose, so
+    the (SP, 1) -> (1, SP) move is an eye-mask + cross-sublane sum:
+    where(eye, scale_col, 0) summed over rows. Garbage pad rows (SP >
+    S_real) are masked out of the eye so a NaN there cannot poison real
+    lanes; their int8 rows are dropped by the partial-block write."""
+    f32 = jnp.float32
+
+    def q(x):
+        am = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        sc = jnp.maximum(am, 1e-8) * (1.0 / 127.0)
+        return jnp.clip(jnp.round(x / sc), -127, 127).astype(jnp.int8), sc
+
+    k8, ksc = q(k_s[...].astype(f32))
+    v8, vsc = q(v_s[...].astype(f32))
+    k_ref[0] = k8
+    v_ref[0] = v8
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 1)
+    eye = rows == cols
+    if SP > S_real:
+        eye = jnp.logical_and(eye, rows < S_real)
+    ksc_ref[0] = jnp.sum(jnp.where(eye, ksc, 0.0), axis=0, keepdims=True)
+    vsc_ref[0] = jnp.sum(jnp.where(eye, vsc, 0.0), axis=0, keepdims=True)
+
+
 def _kernel(
     x_ref, ln_ref, wq_ref, wk_ref, wv_ref, wo_ref,
     cos_ref, sin_ref, p_ref,
-    out_ref, k_ref, v_ref,
-    q_s, k_s, v_s, o_s,
-    *, H, KV, hd, eps, scale, SP, S_real,
+    *rest,
+    H, KV, hd, eps, scale, SP, S_real, kv_quant,
 ):
+    if kv_quant:
+        (out_ref, k_ref, v_ref, ksc_ref, vsc_ref,
+         q_s, k_s, v_s, o_s) = rest
+    else:
+        out_ref, k_ref, v_ref, q_s, k_s, v_s, o_s = rest
     f32 = jnp.float32
     x = x_ref[0]  # (SP, D)
 
@@ -139,14 +180,18 @@ def _kernel(
 
     # --- output projection + residual ---
     out_ref[0] = x + mm(o_s[...], wo_ref)
-    k_ref[0] = k_s[...]
-    v_ref[0] = v_s[...]
+    if kv_quant:
+        _emit_quantized_kv(k_s, v_s, k_ref, v_ref, ksc_ref, vsc_ref, SP, S_real)
+    else:
+        k_ref[0] = k_s[...]
+        v_ref[0] = v_s[...]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_heads", "num_kv_heads", "head_dim", "eps", "interpret",
+        "kv_quant",
     ),
 )
 def fused_attn_block(
@@ -164,9 +209,15 @@ def fused_attn_block(
     head_dim: int,
     eps: float,
     interpret: bool = False,
+    kv_quant: bool = False,
 ):
     """Returns (out, k, v): out = x + attn(rms_norm(x)) @ wo  (B, S, D);
-    k (post-rope) and v (B, S, KV*hd) for the cache."""
+    k (post-rope) and v (B, S, KV*hd) for the cache.
+
+    ``kv_quant`` (int8-cache prefill): returns (out, k8, v8, kscale,
+    vscale) — k/v quantized in-kernel (llama.quantize_kv formula), scales
+    (B, 1, SP) fp32 with the position in the LANE dim (see
+    _emit_quantized_kv)."""
     B, S, D = x.shape
     H, KV, hd = num_heads, num_kv_heads, head_dim
     SP = -(-S // 8) * 8  # sublane alignment is enough (see sp_align)
@@ -184,10 +235,29 @@ def fused_attn_block(
     whole = lambda b: (0, 0)  # noqa: E731
     vec = lambda b: (0,)  # noqa: E731
     V = pltpu.VMEM
-    out, kk, vv = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, SP, D), row, memory_space=V),
+        pl.BlockSpec((1, SP, KV * hd), row, memory_space=V),
+        pl.BlockSpec((1, SP, KV * hd), row, memory_space=V),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, S, D), dt),
+        jax.ShapeDtypeStruct(
+            (B, S, KV * hd), jnp.int8 if kv_quant else dt
+        ),
+        jax.ShapeDtypeStruct(
+            (B, S, KV * hd), jnp.int8 if kv_quant else dt
+        ),
+    ]
+    if kv_quant:
+        sc_spec = pl.BlockSpec((1, 1, SP), lambda b: (b, 0, 0), memory_space=V)
+        sc_shape = jax.ShapeDtypeStruct((B, 1, SP), jnp.float32)
+        out_specs += [sc_spec, sc_spec]
+        out_shape += [sc_shape, sc_shape]
+    outs = pl.pallas_call(
         functools.partial(
             _kernel, H=H, KV=KV, hd=hd, eps=np.float32(eps),
-            scale=np.float32(scale), SP=SP, S_real=S,
+            scale=np.float32(scale), SP=SP, S_real=S, kv_quant=kv_quant,
         ),
         grid=(B,),
         in_specs=[
@@ -201,16 +271,8 @@ def fused_attn_block(
             pl.BlockSpec((SP, hd), whole, memory_space=V),
             pl.BlockSpec((hd, hd), whole, memory_space=V),
         ],
-        out_specs=[
-            pl.BlockSpec((1, SP, D), row, memory_space=V),
-            pl.BlockSpec((1, SP, KV * hd), row, memory_space=V),
-            pl.BlockSpec((1, SP, KV * hd), row, memory_space=V),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, S, D), dt),
-            jax.ShapeDtypeStruct((B, S, KV * hd), dt),
-            jax.ShapeDtypeStruct((B, S, KV * hd), dt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             V((SP, H * hd), dt),
             V((SP, KV * hd), dt),
@@ -226,7 +288,7 @@ def fused_attn_block(
             transcendentals=B * H * SP * SP,
         ),
     )(x, ln_w, wq, wk, wv, wo, cosp, sinp, blk)
-    return out, kk, vv
+    return tuple(outs)
 
 
 def _rowquant(h):
@@ -242,9 +304,8 @@ def _kernel_w8a8(
     x_ref, ln_ref, wq_ref, wk_ref, wv_ref, wo_ref,
     sq_ref, sk_ref, sv_ref, so_ref,
     cos_ref, sin_ref, p_ref,
-    out_ref, k_ref, v_ref,
-    q_s, k_s, v_s, o_s,
-    *, H, KV, hd, eps, scale, SP, S_real,
+    *rest,
+    H, KV, hd, eps, scale, SP, S_real, kv_quant,
 ):
     """W8A8 variant: every dot runs on the int8 MXU path (2x the bf16
     rate — the r4 ablation showed both the projection half (62% MFU) and
@@ -265,6 +326,11 @@ def _kernel_w8a8(
     All further lossy steps beyond weight-only int8, so this kernel backs
     the OPT-IN w8a8 mode only; bench.py reports the resulting token
     agreement alongside the int8 modes."""
+    if kv_quant:
+        (out_ref, k_ref, v_ref, ksc_ref, vsc_ref,
+         q_s, k_s, v_s, o_s) = rest
+    else:
+        out_ref, k_ref, v_ref, q_s, k_s, v_s, o_s = rest
     f32 = jnp.float32
     x = x_ref[0]  # (SP, D)
 
@@ -330,14 +396,18 @@ def _kernel_w8a8(
     out_ref[0] = x + (mm8(o8, wo_ref) * os * so_ref[...].astype(f32)).astype(
         dt
     )
-    k_ref[0] = k_s[...]
-    v_ref[0] = v_s[...]
+    if kv_quant:
+        _emit_quantized_kv(k_s, v_s, k_ref, v_ref, ksc_ref, vsc_ref, SP, S_real)
+    else:
+        k_ref[0] = k_s[...]
+        v_ref[0] = v_s[...]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_heads", "num_kv_heads", "head_dim", "eps", "interpret",
+        "kv_quant",
     ),
 )
 def fused_attn_block_w8a8(
@@ -359,10 +429,13 @@ def fused_attn_block_w8a8(
     head_dim: int,
     eps: float,
     interpret: bool = False,
+    kv_quant: bool = False,
 ):
     """W8A8 attention block (see _kernel_w8a8). Same contract as
     ``fused_attn_block``: returns (out, k, v) with k/v in bf16 — cache
-    quantization stays the caller's (llama.prefill commit) business."""
+    quantization stays the caller's (llama.prefill commit) business —
+    or, with ``kv_quant``, (out, k8, v8, kscale, vscale) quantized
+    in-kernel (see _emit_quantized_kv)."""
     B, S, D = x.shape
     H, KV, hd = num_heads, num_kv_heads, head_dim
     SP = -(-S // 32) * 32  # int8 min sublane tile is 32
@@ -378,10 +451,25 @@ def fused_attn_block_w8a8(
     whole = lambda b: (0, 0)  # noqa: E731
     vec = lambda b: (0,)  # noqa: E731
     V = pltpu.VMEM
-    out, kk, vv = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, SP, D), row, memory_space=V),
+        pl.BlockSpec((1, SP, KV * hd), row, memory_space=V),
+        pl.BlockSpec((1, SP, KV * hd), row, memory_space=V),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, S, D), dt),
+        jax.ShapeDtypeStruct((B, S, KV * hd), jnp.int8 if kv_quant else dt),
+        jax.ShapeDtypeStruct((B, S, KV * hd), jnp.int8 if kv_quant else dt),
+    ]
+    if kv_quant:
+        sc_spec = pl.BlockSpec((1, 1, SP), lambda b: (b, 0, 0), memory_space=V)
+        sc_shape = jax.ShapeDtypeStruct((B, 1, SP), jnp.float32)
+        out_specs += [sc_spec, sc_spec]
+        out_shape += [sc_shape, sc_shape]
+    outs = pl.pallas_call(
         functools.partial(
             _kernel_w8a8, H=H, KV=KV, hd=hd, eps=np.float32(eps),
-            scale=np.float32(scale), SP=SP, S_real=S,
+            scale=np.float32(scale), SP=SP, S_real=S, kv_quant=kv_quant,
         ),
         grid=(B,),
         in_specs=[
@@ -399,16 +487,8 @@ def fused_attn_block_w8a8(
             pl.BlockSpec((SP, hd), whole, memory_space=V),
             pl.BlockSpec((hd, hd), whole, memory_space=V),
         ],
-        out_specs=[
-            pl.BlockSpec((1, SP, D), row, memory_space=V),
-            pl.BlockSpec((1, SP, KV * hd), row, memory_space=V),
-            pl.BlockSpec((1, SP, KV * hd), row, memory_space=V),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, S, D), dt),
-            jax.ShapeDtypeStruct((B, S, KV * hd), dt),
-            jax.ShapeDtypeStruct((B, S, KV * hd), dt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             V((SP, H * hd), dt),
             V((SP, KV * hd), dt),
@@ -428,7 +508,7 @@ def fused_attn_block_w8a8(
         wq_s.reshape(1, -1), wk_s.reshape(1, -1), wv_s.reshape(1, -1),
         wo_s.reshape(1, -1), cosp, sinp, blk,
     )
-    return out, kk, vv
+    return tuple(outs)
 
 
 def reference_attn_block(

@@ -88,13 +88,6 @@ def _kernel_w8a8(
     out_ref[0] = x + y.astype(x.dtype)
 
 
-def _pad_rows(x, SP):
-    B, S, D = x.shape
-    if SP == S:
-        return x
-    return jnp.pad(x, ((0, 0), (0, SP - S), (0, 0)))
-
-
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def fused_mlp_block(
     x: jax.Array,  # (B, S, D) — raw layer input (pre-norm)
@@ -111,12 +104,16 @@ def fused_mlp_block(
     I = w_gate.shape[1]
     SP = -(-S // 8) * 8
     dt = x.dtype
-    xp = _pad_rows(x, SP)
 
     row = lambda b: (b, 0, 0)  # noqa: E731
     whole = lambda b: (0, 0)  # noqa: E731
     vec = lambda b: (0,)  # noqa: E731
     V = pltpu.VMEM
+    # No host-side row pad: Pallas partial blocks read/write only the S
+    # real rows (every op in the kernel is row-confined, so the SP-S
+    # garbage rows are inert and their outputs are dropped by the masked
+    # partial-block write). The explicit pad + output slice cost ~1 ms at
+    # the B=256 chunked-prefill shape (r4 profile).
     out = pl.pallas_call(
         functools.partial(_kernel_bf16, eps=np.float32(eps)),
         grid=(B,),
@@ -128,7 +125,7 @@ def fused_mlp_block(
             pl.BlockSpec((I, D), whole, memory_space=V),
         ],
         out_specs=pl.BlockSpec((1, SP, D), row, memory_space=V),
-        out_shape=jax.ShapeDtypeStruct((B, SP, D), dt),
+        out_shape=jax.ShapeDtypeStruct((B, S, D), dt),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * SP * D * I * 3,
@@ -136,8 +133,8 @@ def fused_mlp_block(
             + 3 * D * I * w_gate.dtype.itemsize,
             transcendentals=B * SP * I,
         ),
-    )(xp, ln_w, w_gate, w_up, w_down)
-    return out[:, :S] if SP != S else out
+    )(x, ln_w, w_gate, w_up, w_down)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
@@ -160,11 +157,13 @@ def fused_mlp_block_w8a8(
     measured in bench output alongside the int8 modes."""
     B, S, D = x.shape
     I = wg_q.shape[1]
-    # int8 min tile is (32, 128): align the row dim to 32 so the quantized
-    # activations hit the native layout.
+    # int8 min tile is (32, 128): align the BLOCK row dim to 32 so the
+    # quantized activations hit the native layout. No host-side pad/slice
+    # (it cost ~4 ms at the B=256 chunked-prefill shape, r4 profile):
+    # partial blocks cover S % 32, the garbage rows are row-confined and
+    # dropped by the masked output write.
     SP = -(-S // 32) * 32
     dt = x.dtype
-    xp = _pad_rows(x, SP)
 
     row = lambda b: (b, 0, 0)  # noqa: E731
     whole = lambda b: (0, 0)  # noqa: E731
@@ -184,7 +183,7 @@ def fused_mlp_block_w8a8(
             pl.BlockSpec((1, D), whole, memory_space=V),
         ],
         out_specs=pl.BlockSpec((1, SP, D), row, memory_space=V),
-        out_shape=jax.ShapeDtypeStruct((B, SP, D), dt),
+        out_shape=jax.ShapeDtypeStruct((B, S, D), dt),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * SP * D * I * 3,
@@ -192,10 +191,10 @@ def fused_mlp_block_w8a8(
             transcendentals=B * SP * I,
         ),
     )(
-        xp, ln_w, wg_q, wu_q, wd_q,
+        x, ln_w, wg_q, wu_q, wd_q,
         wg_s.reshape(1, I), wu_s.reshape(1, I), wd_s.reshape(1, D),
     )
-    return out[:, :S] if SP != S else out
+    return out
 
 
 def reference_mlp_block(x, ln_w, w_gate, w_up, w_down, *, eps):

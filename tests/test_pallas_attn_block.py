@@ -99,3 +99,41 @@ def test_w8a8_close_to_oracle(B, S):
     assert rel(k, rk) < 0.03, rel(k, rk)
     assert rel(v, rv) < 0.03, rel(v, rv)
     assert rel(out, ro) < 0.05, rel(out, ro)
+
+
+@pytest.mark.parametrize("S", [99, 389])
+def test_kv_quant_matches_quantize_kv(S):
+    """kv_quant=True must return exactly quantize_kv(k), quantize_kv(v) of
+    the bf16-mode outputs (same formula, in-kernel), with scales in lane
+    layout — the int8-cache prefill commit depends on this equivalence."""
+    from mellow_tpu.models.llama import quantize_kv
+
+    cfg = LlamaConfig()
+    B, H, KV, hd, D = 2, 9, 3, 64, 576
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, S, D) * 0.5, jnp.float32)
+    ln = jnp.asarray(rng.randn(D) * 0.1 + 1.0, jnp.float32)
+    wq = jnp.asarray(rng.randn(D, H * hd) * 0.05, jnp.float32)
+    wk = jnp.asarray(rng.randn(D, KV * hd) * 0.05, jnp.float32)
+    wv = jnp.asarray(rng.randn(D, KV * hd) * 0.05, jnp.float32)
+    wo = jnp.asarray(rng.randn(H * hd, D) * 0.05, jnp.float32)
+    cos_t, sin_t = rope_tables(cfg, S, jnp.float32)
+    cos, sin = jnp.asarray(cos_t[:, :hd]), jnp.asarray(sin_t[:, :hd])
+    kw = dict(num_heads=H, num_kv_heads=KV, head_dim=hd, eps=1e-5)
+    out, k, v = fused_attn_block(
+        x, ln, wq, wk, wv, wo, cos, sin, interpret=True, **kw
+    )
+    out_q, k8, v8, ksc, vsc = fused_attn_block(
+        x, ln, wq, wk, wv, wo, cos, sin, interpret=True, kv_quant=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out))
+    want_k8, want_ksc = quantize_kv(k)
+    want_v8, want_vsc = quantize_kv(v)
+    np.testing.assert_array_equal(np.asarray(k8), np.asarray(want_k8))
+    np.testing.assert_array_equal(np.asarray(v8), np.asarray(want_v8))
+    np.testing.assert_allclose(
+        np.asarray(ksc)[:, 0, :S], np.asarray(want_ksc), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(vsc)[:, 0, :S], np.asarray(want_vsc), rtol=1e-6
+    )
