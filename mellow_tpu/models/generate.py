@@ -103,6 +103,95 @@ def warp_logits(
     return logits
 
 
+_NUCLEUS_K = 64  # top-k prefilter width for the fast nucleus-sampling path
+
+
+def _fast_sample(
+    logits: jax.Array,  # (B, V)
+    *,
+    top_p: float,
+    temperature: float,
+    top_k: int,
+    rng: jax.Array,
+    repetition_penalty: float = 1.0,
+    seen: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Nucleus/top-k sampling WITHOUT a vocab-wide sort in the hot path.
+
+    ``warp_logits`` (the exact HF-parity transform) sorts the full
+    (B, 49152) vocabulary every step — measured as the dominant cost of
+    sampled decode. This path keeps the same keep-set rule but finds it
+    inside the top ``k = max(64, top_k)`` candidates from ``lax.top_k``:
+
+    * the softmax DENOMINATOR is still computed over the full vocabulary
+      (one elementwise+reduce pass), so candidate probabilities match the
+      full softmax, not a renormalized top-k approximation;
+    * the top-p cutoff rule (exclusive cumulative mass < top_p, top-1
+      always kept) is applied over the sorted candidates — identical to
+      the full rule whenever the nucleus fits inside the candidates;
+    * coverage is CHECKED at runtime: if any row's candidate mass falls
+      short of ``top_p`` (possible for near-uniform distributions or
+      top_p ≈ 1), a ``lax.cond`` falls back to the exact full-sort
+      ``warp_logits`` path for that step. The fallback branch is compiled
+      but only executed on under-coverage, so peaked (real-checkpoint)
+      distributions never pay for it. With an explicit ``top_k <= k`` the
+      nucleus is confined to the candidates by construction and no
+      fallback exists at all.
+
+    Token ids drawn are always inside the exact HF kept set
+    (tests/test_sampling.py); the categorical draw itself consumes the
+    key over (B, k) instead of (B, V), so sampled STREAMS differ from the
+    r3 full-sort path for the same seed — valid draws from the identical
+    filtered distribution.
+    """
+    if seen is not None and repetition_penalty != 1.0:
+        logits = _apply_penalty(logits, seen, repetition_penalty)
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    V = logits.shape[-1]
+    want_top_k = 0 < top_k < V
+    want_top_p = top_p < 1.0
+    if not want_top_k and not want_top_p:
+        return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+    k = min(V, max(_NUCLEUS_K, top_k) if want_top_p else top_k)
+    vals, idx = jax.lax.top_k(logits, k)  # (B, k) descending
+    if want_top_k and top_k < k:
+        vals = jnp.where(jnp.arange(k)[None, :] < top_k, vals, -jnp.inf)
+
+    def draw(r, cand_logits):
+        c = jax.random.categorical(r, cand_logits, axis=-1)
+        return jnp.take_along_axis(idx, c[:, None], axis=1)[:, 0].astype(
+            jnp.int32
+        )
+
+    if not want_top_p:
+        return draw(rng, vals)
+    # Candidate probabilities under the FULL-vocab softmax (warp_logits
+    # applies softmax over the whole top_k-masked row, so the denominator
+    # must include every unmasked token, not just the k candidates).
+    m = vals[:, :1]  # row max (top_k output is sorted)
+    if want_top_k:
+        denom = jnp.sum(jnp.exp(vals - m), axis=-1, keepdims=True)
+    else:
+        denom = jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)
+    probs = jnp.exp(vals - m) / denom
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < top_p  # exclusive cumulative mass
+    keep = keep.at[:, 0].set(True)
+    kept_vals = jnp.where(keep, vals, -jnp.inf)
+    if want_top_k:  # nucleus confined to the top_k <= k candidates
+        return draw(rng, kept_vals)
+
+    def slow(r):
+        # Exact full-sort path; temperature/penalty already applied above
+        # (x / 1.0 is bit-exact, warp_logits line comment).
+        return jax.random.categorical(
+            r, warp_logits(logits, top_p=top_p), axis=-1
+        ).astype(jnp.int32)
+
+    covered = jnp.all(cum[:, -1] >= top_p)
+    return jax.lax.cond(covered, lambda r: draw(r, kept_vals), slow, rng)
+
+
 def _sample_token(
     logits: jax.Array,
     *,
@@ -138,6 +227,20 @@ def _sample_token(
                 logits, repetition_penalty=repetition_penalty, seen=seen
             )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if (
+        isinstance(top_p, (int, float))
+        and isinstance(temperature, (int, float))
+        and isinstance(repetition_penalty, (int, float))
+        and isinstance(top_k, int)
+    ):
+        # generate() declares the knobs static, so the decode loop always
+        # lands here: the fast top-k-prefiltered sampler (no vocab-wide
+        # sort per sub-step — VERDICT r3 item 2).
+        return _fast_sample(
+            logits, top_p=float(top_p), temperature=float(temperature),
+            top_k=top_k, rng=rng,
+            repetition_penalty=float(repetition_penalty), seen=seen,
+        )
     filtered = warp_logits(
         logits, top_p=top_p, temperature=temperature, top_k=top_k,
         repetition_penalty=repetition_penalty, seen=seen,
@@ -213,11 +316,10 @@ def _effective_window(flush_window, max_len: int, greedy: bool,
         # at B=256; at B=64 the entries are cheap and the flush save
         # dominates — W=8: 40.7k vs W=4: 39.3k (r2 sweep).
         flush_window = 4 if batch > 128 else 8
-    if not greedy:
-        # Each unrolled sub-step inlines a full top-p sort over the vocab;
-        # cap the window so the compiled program stays small (the flush
-        # batching matters for bulk greedy decode, not sampling).
-        flush_window = min(flush_window, 2)
+    # Sampling no longer caps the window: _fast_sample replaced the
+    # per-sub-step vocab-wide sort with a top-64 prefilter (the r3 cap of
+    # 2 existed to bound program size when every unrolled sub-step inlined
+    # a full (B, 49152) sort).
     return max(1, min(flush_window, max_len))
 
 
@@ -405,6 +507,11 @@ def _one_window(
         "cfg", "max_len", "stop_token_id", "greedy", "cache_dtype", "family",
         "flush_window", "top_k", "repetition_penalty", "prefill_chunk",
         "w8a8", "fused_decode",
+        # top_p/temperature are STATIC so the decode loop sees concrete
+        # Python floats and takes the _fast_sample path (top-k prefilter,
+        # no vocab-wide sort); greedy ignores them, and serving reuses a
+        # handful of knob values — one compile each, like top_k.
+        "top_p", "temperature",
     ),
 )
 def generate(

@@ -62,7 +62,7 @@ def encode_and_prefix(
     static_argnames=(
         "cfg", "max_len", "greedy", "cache_dtype", "stop_token_id",
         "top_k", "repetition_penalty", "prefill_chunk", "w8a8",
-        "fused_decode",
+        "fused_decode", "top_p", "temperature",  # static: see gen.generate
     ),
 )
 def generate_tokens(
@@ -173,6 +173,128 @@ def generate_tokens_dynamic(
         min_batch=min_batch,
         fused_decode=fused_decode,
     )
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_generate_fn(
+    cfg: MellowConfig, mesh, max_len, greedy, cache_dtype, stop_token_id,
+    top_k, repetition_penalty, w8a8, top_p, temperature, _env_key="",
+):
+    """Build + cache the jitted shard_map program for one knob set.
+
+    Pure data parallelism over ``mesh``'s combined axes: params replicated,
+    batch rows split, and each device runs the COMPLETE single-chip
+    program — encoder, prefix, chunked prefill, windowed decode loop,
+    fused Pallas decode kernel — on its local rows with NO collectives.
+    This is how the single-chip perf features survive a mesh (VERDICT r3
+    item 4): under plain auto-SPMD jit the Pallas custom calls do not
+    partition, so the r3 wrapper forced ``fused_decode=False`` and
+    ``prefill_chunk=0`` on every sharded run. Inside shard_map the kernel
+    sees ordinary local shapes. Each device's while_loop also exits as
+    soon as its OWN rows are done — a free cascade-lite the global-batch
+    loop cannot express.
+
+    TP meshes (model axis > 1) cannot take this path (the decoder matmuls
+    would need in-kernel collectives); the wrapper routes them through the
+    auto-SPMD ``generate_tokens`` instead.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+
+    def local_fn(params, audio1, audio2, text_ids, initial_done, rng):
+        # Distinct sampling streams per shard: fold the device's linear
+        # mesh index into the key (greedy ignores rng entirely).
+        idx = jnp.int32(0)
+        for a in axes:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        rng = jax.random.fold_in(rng, idx)
+        res = generate_tokens(  # nested jit: inlined into this trace
+            params, cfg, audio1, audio2, text_ids,
+            max_len=max_len, greedy=greedy, rng=rng,
+            top_p=top_p, temperature=temperature,
+            cache_dtype=cache_dtype, initial_done=initial_done,
+            stop_token_id=stop_token_id, top_k=top_k,
+            repetition_penalty=repetition_penalty, w8a8=w8a8,
+        )
+        # num_steps is a per-shard scalar (shards may exit at different
+        # window counts); lift to a length-1 axis so it can ride out as a
+        # P(axes) array — the caller takes the max (= slowest row,
+        # generate()'s num_steps contract).
+        return res.tokens, res.num_steps[None]
+
+    mapped = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axes), P(axes), P(axes), P(axes), P()),
+        out_specs=(P(axes), P(axes)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(params, audio1, audio2, text_ids, initial_done, rng):
+        tokens, steps = mapped(
+            params, audio1, audio2, text_ids, initial_done, rng
+        )
+        return gen.GenerateResult(
+            tokens=tokens, num_steps=jnp.max(steps)
+        )
+
+    return run
+
+
+def generate_tokens_sharded(
+    params,
+    cfg: MellowConfig,
+    audio1: jax.Array,
+    audio2: jax.Array,
+    text_ids: jax.Array,
+    *,
+    mesh,
+    max_len: int,
+    greedy: bool = True,
+    top_p: float = 0.8,
+    temperature: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    cache_dtype: str = "float32",
+    initial_done: Optional[jax.Array] = None,
+    stop_token_id: Optional[int] = None,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    w8a8: bool = False,
+) -> gen.GenerateResult:
+    """DP-sharded ``generate_tokens`` (see ``_sharded_generate_fn``).
+    Requires every mesh axis to be a pure batch axis (the wrapper only
+    routes ``model``-axis-size-1 meshes here) and the batch divisible by
+    the device count. Token outputs are identical to the unsharded
+    ``generate_tokens`` row-for-row (greedy; sampling uses per-shard
+    streams)."""
+    n = mesh.devices.size
+    B = audio1.shape[0]
+    if B % n:
+        raise ValueError(f"batch {B} not divisible by mesh size {n}")
+    if initial_done is None:
+        initial_done = jnp.zeros((B,), bool)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if greedy:
+        # Sampling knobs are baked into the cached program only when they
+        # matter; greedy ignores them (parity with generate_tokens).
+        top_p, temperature = 0.8, 1.0
+    import os
+
+    fn = _sharded_generate_fn(
+        cfg, mesh, max_len, greedy, cache_dtype,
+        cfg.stop_token_id if stop_token_id is None else stop_token_id,
+        top_k, repetition_penalty, w8a8, float(top_p), float(temperature),
+        # The kernel force/kill envs are read at trace time inside
+        # _fused_decode_auto; key the cached program on them so tests that
+        # flip the env don't collide (same caveat as the jit caches).
+        _env_key=os.environ.get("MELLOW_TPU_FORCE_FUSED_DECODE", "")
+        + "|" + os.environ.get("MELLOW_TPU_DISABLE_FUSED_ATTN", "")
+        + "|" + os.environ.get("MELLOW_TPU_DISABLE_FUSED_DECODE", ""),
+    )
+    return fn(params, audio1, audio2, text_ids, initial_done, rng)
 
 
 def forward_train(

@@ -131,3 +131,24 @@ def test_resample_matches_torch_conv_oracle(orig, new):
     ours = resample(wav, orig, new)
     ref = resample_oracle(torch.from_numpy(wav), orig, new).numpy()
     np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_resample_matches_torchaudio_golden():
+    """TRUE torchaudio golden vectors, captured one-time on a networked
+    machine per docs/OFFLINE_GAPS.md item 2 (this environment cannot
+    install torchaudio). Skips until tests/golden/torchaudio_resample.npz
+    exists; once captured, this discharges the common-mode-error risk the
+    conv1d oracle above carries (reference mellow/wrapper.py:146-148)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "torchaudio_resample.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("golden vectors not captured yet (docs/OFFLINE_GAPS.md)")
+    data = np.load(path)
+    sr_in = int(data["sr_in"]) if "sr_in" in data else 44100
+    sr_out = int(data["sr_out"]) if "sr_out" in data else 32000
+    for row_x, row_y in zip(data["x"], data["y"]):
+        ours = resample(row_x.astype(np.float32), sr_in, sr_out)
+        np.testing.assert_allclose(ours, row_y, atol=1e-5)

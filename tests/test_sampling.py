@@ -160,3 +160,68 @@ def test_sampled_ids_come_from_hf_kept_set():
             top_k=20, rng=jax.random.PRNGKey(seed),
         ))
         assert kept[np.arange(8), tok].all()
+
+
+def _fast_kept_check(logits, *, top_p, seeds=6, **kw):
+    """_fast_sample's draws must land in HF's exact kept set."""
+    import jax
+
+    from mellow_tpu.models.generate import _fast_sample
+
+    want = hf_warp(logits, np.zeros((logits.shape[0], 1), np.int64),
+                   top_p=top_p, **kw)
+    kept = ~np.isneginf(want)
+    B = logits.shape[0]
+    for seed in range(seeds):
+        tok = np.asarray(_fast_sample(
+            jnp.asarray(logits), top_p=top_p, rng=jax.random.PRNGKey(seed),
+            temperature=kw.get("temperature", 1.0), top_k=kw.get("top_k", 0),
+        ))
+        assert kept[np.arange(B), tok].all(), (seed, tok)
+
+
+def test_fast_sample_peaked_takes_covered_branch():
+    """Peaked logits: the top-64 prefilter covers the nucleus; draws stay
+    inside HF's kept set (the fast branch of the lax.cond)."""
+    logits = rand_logits(21, B=6, V=513) * 8.0  # sharp: tiny nucleus
+    _fast_kept_check(logits, top_p=0.8)
+
+
+def test_fast_sample_uniform_takes_fallback_branch():
+    """Near-uniform logits: top-64 mass < top_p, so the exact full-sort
+    fallback branch must fire — draws still inside HF's kept set."""
+    logits = rand_logits(22, B=6, V=513) * 0.01  # flat: nucleus >> 64
+    # Sanity: the nucleus really is wider than the prefilter.
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    top64 = np.sort(probs, -1)[:, ::-1][:, :64].sum(-1)
+    assert (top64 < 0.9).all()
+    _fast_kept_check(logits, top_p=0.9)
+
+
+def test_fast_sample_topk_within_prefilter():
+    """Explicit top_k <= 64 confines the nucleus: no fallback exists and
+    draws match HF's combined top-k+top-p kept set."""
+    logits = rand_logits(23, B=6, V=513)
+    _fast_kept_check(logits, top_p=0.7, top_k=16, temperature=0.9)
+
+
+def test_fast_sample_no_filters_is_plain_categorical():
+    """top_p>=1, top_k=0: no sort at all — any in-vocab id is legal, and
+    temperature scaling stays bit-compatible with warp_logits."""
+    import jax
+
+    from mellow_tpu.models.generate import _fast_sample
+
+    logits = rand_logits(24, B=4, V=97)
+    tok = np.asarray(_fast_sample(
+        jnp.asarray(logits), top_p=1.0, temperature=0.5, top_k=0,
+        rng=jax.random.PRNGKey(0),
+    ))
+    assert ((tok >= 0) & (tok < 97)).all()
+
+
+def test_fast_sample_large_topk_path():
+    """top_k > 64 widens the prefilter to k=top_k (still no fallback)."""
+    logits = rand_logits(25, B=4, V=257)
+    _fast_kept_check(logits, top_p=0.85, top_k=100)
