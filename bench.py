@@ -164,6 +164,102 @@ def main():
         f"(w8a8-vs-int8: {float((t_q == t_w8).mean()):.3f}; same caveat)")
 
     # ------------------------------------------------------------------
+    # 1b) SAMPLED decode (VERDICT r3 item 2: the serving knob had no perf
+    # number). B=64 int8/int8, top_p=0.8 — the fast top-k-prefiltered
+    # nucleus path (models/generate._fast_sample). Same slope methodology.
+    # ------------------------------------------------------------------
+    def run_sampled(max_len):
+        return gen.generate(
+            dec_int8w, cfg.decoder, prefixes[64], max_len=max_len,
+            stop_token_id=-1, greedy=False, top_p=0.8, temperature=1.0,
+            rng=jax.random.PRNGKey(0), cache_dtype="int8",
+        )
+
+    run_sampled(SHORT).tokens.block_until_ready()
+    run_sampled(LONG).tokens.block_until_ready()
+    ts_s = ts_l = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        run_sampled(SHORT).tokens.block_until_ready()
+        ts_s = min(ts_s, time.time() - t0)
+        t0 = time.time()
+        run_sampled(LONG).tokens.block_until_ready()
+        ts_l = min(ts_l, time.time() - t0)
+    samp_tps = 64 / ((ts_l - ts_s) / (LONG - SHORT))
+    greedy_tps = results[(64, "int8", "int8")][0]
+    log(f"decode SAMPLED (B=64 int8/int8 top_p=0.8): {samp_tps:,.0f} tok/s "
+        f"steady-state = {samp_tps / greedy_tps:.2f}x of greedy "
+        f"({greedy_tps:,.0f})")
+
+    # ------------------------------------------------------------------
+    # 1c) cascade compaction on the 50% short-answer mix (the serving
+    # engine's dynamic_batch default — exp_cascade.py's construction:
+    # half the rows are copies of a row whose step-2 token becomes the
+    # stop id, so they finish after 3 steps while the rest run on).
+    # ------------------------------------------------------------------
+    Bc = 256
+    r0 = gen.generate(
+        dec_int8w, cfg.decoder, prefixes[Bc], max_len=LONG,
+        stop_token_id=-1, greedy=True, cache_dtype="int8",
+    )
+    stop = int(np.asarray(r0.tokens)[0, 2])
+    mix = jnp.concatenate(
+        [jnp.tile(prefixes[Bc][:1], (Bc // 2, 1, 1)), prefixes[Bc][Bc // 2:]],
+        axis=0,
+    )
+
+    def run_mix(cascade):
+        fn = gen.generate_cascade if cascade else gen.generate
+        kw = {"min_batch": 32} if cascade else {}
+        return fn(
+            dec_int8w, cfg.decoder, mix, max_len=LONG, stop_token_id=stop,
+            greedy=True, cache_dtype="int8", **kw,
+        )
+
+    times = {}
+    for cascade in (False, True):
+        jax.block_until_ready(run_mix(cascade).tokens)  # compile
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(run_mix(cascade).tokens)
+            best = min(best, time.time() - t0)
+        times[cascade] = best
+    log(f"cascade (B={Bc} int8/int8, 50% short-answer mix, {LONG} steps): "
+        f"static {times[False]*1e3:.0f} ms vs cascade {times[True]*1e3:.0f} ms "
+        f"-> {times[False]/times[True]:.2f}x (serving dynamic_batch default)")
+
+    # ------------------------------------------------------------------
+    # 1d) GPT-2 family decode at the full 12L/768 shape (VERDICT r3 item
+    # 7: 'both families' needs perf evidence, reference decoder.py:26-31).
+    # ------------------------------------------------------------------
+    from mellow_tpu.models import gpt2 as gpt2_mod
+
+    gcfg = gpt2_mod.GPT2Config()
+    gp = gpt2_mod.init_params(jax.random.PRNGKey(1), gcfg, dtype)
+    gprefix = jnp.asarray(rng.randn(64, P, gcfg.hidden_size) * 0.02, dtype)
+
+    def run_gpt2(max_len):
+        return gen.generate(
+            gp, gcfg, gprefix, max_len=max_len, stop_token_id=-1,
+            greedy=True, cache_dtype="bfloat16", family="gpt2",
+        )
+
+    run_gpt2(SHORT).tokens.block_until_ready()
+    run_gpt2(LONG).tokens.block_until_ready()
+    tg_s = tg_l = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        run_gpt2(SHORT).tokens.block_until_ready()
+        tg_s = min(tg_s, time.time() - t0)
+        t0 = time.time()
+        run_gpt2(LONG).tokens.block_until_ready()
+        tg_l = min(tg_l, time.time() - t0)
+    gpt2_tps = 64 / ((tg_l - tg_s) / (LONG - SHORT))
+    log(f"decode GPT-2 (B=64 12L/768 bf16 cache): {gpt2_tps:,.0f} tok/s "
+        f"steady-state")
+
+    # ------------------------------------------------------------------
     # 2) encoder clips/sec/chip
     # ------------------------------------------------------------------
     Be = 32

@@ -171,9 +171,14 @@ def _rotate_half(x: jax.Array) -> jax.Array:
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: (B, S, H, hd); cos/sin: (S, hd)."""
-    cos = cos[None, :, None, :]
-    sin = sin[None, :, None, :]
+    """x: (B, S, H, hd); cos/sin: (S, hd) shared, or (B, S, hd) per-row
+    (ragged continuous-batching decode, models/continuous.py)."""
+    if cos.ndim == 3:
+        cos = cos[:, :, None, :]
+        sin = sin[:, :, None, :]
+    else:
+        cos = cos[None, :, None, :]
+        sin = sin[None, :, None, :]
     return x * cos + _rotate_half(x) * sin
 
 
@@ -859,8 +864,21 @@ def decode_step(
     cos_full: jax.Array,  # (S_max, hd) precomputed rope tables
     sin_full: jax.Array,
     pending: tuple = (),
+    start: Optional[jax.Array] = None,  # (B,) int32: per-row first cache
+    # column (continuous batching — models/continuous.py). None = 0.
 ) -> Tuple[jax.Array, KVCache, tuple]:
     """One incremental decode step. NEVER writes the cache.
+
+    ``start`` (ragged rows, continuous batching): row r's sequence begins
+    at cache column start[r] and its kv there were stored with LOCAL RoPE
+    positions (0, 1, ...) — a joiner admitted mid-flight was prefilled
+    with standard positions [0, P) and its rows inserted at columns
+    [t-P, t). This step then (a) ropes the new q/k at the row's LOCAL
+    position ``pos - start[r]`` and (b) masks cache columns < start[r].
+    Rows are independent under causal attention, so each row's math is
+    bitwise identical to a solo run at its own positions; the cache WRITE
+    position stays the shared global column (one dynamic_update_slice, no
+    scatter) — only the rope gather and the mask are per-row.
 
     Cache-aliasing / flush-batching design: XLA copies a loop-carried buffer
     that is read and THEN scatter-written in the same iteration, and even an
@@ -889,11 +907,22 @@ def decode_step(
     pos = flushed + n_pend  # this token's position
     x = token_embed[:, None, :]  # (B, 1, D)
 
-    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, 1, axis=0)  # (1, hd)
-    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, 1, axis=0)
-
     kpos = jnp.arange(S_max)
-    mask = jnp.where(kpos[None, :] < flushed, 0.0, -jnp.inf).astype(jnp.float32)  # (1, S_max)
+    if start is None:
+        cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, 1, axis=0)  # (1, hd)
+        sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, 1, axis=0)
+        mask = jnp.where(
+            kpos[None, :] < flushed, 0.0, -jnp.inf
+        ).astype(jnp.float32)  # (1, S_max)
+    else:
+        # Ragged rows: per-row LOCAL rope position + per-row start mask.
+        local = pos - start  # (B,)
+        cos = cos_full[local][:, None, :]  # (B, 1, hd)
+        sin = sin_full[local][:, None, :]
+        mask = jnp.where(
+            (kpos[None, :] >= start[:, None]) & (kpos[None, :] < flushed),
+            0.0, -jnp.inf,
+        ).astype(jnp.float32)[:, None, :]  # (B, 1, S_max)
     # Block-diagonal expansion: query head h = (g, r) only contracts with KV
     # head g's 64-dim block of the packed 192-dim cache rows. eye-einsum
     # fuses to a masked broadcast — no scatter.

@@ -112,6 +112,46 @@ def test_timeout_expires_queued_request():
     engine.shutdown()
 
 
+def test_continuous_engine_matches_direct(wrapper):
+    """ContinuousBatchingEngine: staggered submissions (the second wave
+    lands while the first is decoding, so it is ADMITTED into freed slots
+    of the live batch) return exactly the solo wrapper.generate strings."""
+    from mellow_tpu.serving import ContinuousBatchingEngine
+
+    engine = ContinuousBatchingEngine(
+        wrapper, slots=2, horizon=16, flush_window=4
+    )
+    prompts = ["alpha", "beta", "gamma", "delta"]
+    futs = [
+        engine.submit(REF_WAV1, REF_WAV2, prompts[0], max_len=6),
+        engine.submit(REF_WAV1, REF_WAV2, prompts[1], max_len=4),
+    ]
+    time.sleep(0.2)  # first wave in flight
+    futs += [
+        engine.submit(REF_WAV1, REF_WAV2, prompts[2], max_len=5),
+        engine.submit(REF_WAV1, REF_WAV2, prompts[3], max_len=6),
+    ]
+    results = [f.result(timeout=600) for f in futs]
+    for p, got, ml in zip(prompts, results, (6, 4, 5, 6)):
+        direct = wrapper.generate([[REF_WAV1, REF_WAV2, p]], max_len=ml)
+        assert got == direct[0], p
+    engine.shutdown()
+    assert not engine._thread.is_alive()
+
+
+def test_continuous_engine_rejects_mesh_and_gpt2(wrapper):
+    from mellow_tpu.parallel import sharding as shd
+    from mellow_tpu.serving import ContinuousBatchingEngine
+
+    params = jmellow.init_params(jax.random.PRNGKey(0), SMALL)
+    w_mesh = MellowWrapper(
+        "test_small", "v0", 0, params=params, tokenizer=ByteTokenizer(),
+        mesh=shd.make_mesh(8),
+    )
+    with pytest.raises(ValueError, match="single-device"):
+        ContinuousBatchingEngine(w_mesh)
+
+
 def test_shutdown_drains_prior_submissions():
     """Requests accepted before shutdown() sit ahead of the shutdown
     sentinel, so the dispatcher drains them (every accepted Future
