@@ -103,7 +103,48 @@ def warp_logits(
     return logits
 
 
-_NUCLEUS_K = 64  # top-k prefilter width for the fast nucleus-sampling path
+_REJECT_DRAWS = 8  # parallel rejection draws per row (miss prob <= (1-p)^8)
+
+
+def _reject_sample(logits: jax.Array, top_p: float, rng: jax.Array) -> jax.Array:
+    """Exact nucleus sampling with NO sort, for ANY logit distribution.
+
+    warp_logits' kept set is value-thresholded: token t is kept iff
+    ``logit_t >= min_kept``, which is equivalent to ``E_t < top_p`` where
+    ``E_t = sum(probs[logits > logit_t])`` is the strictly-greater mass
+    (the equivalence covers warp_logits' tie-group-superset semantics:
+    every token tied at the boundary value is kept). So nucleus sampling
+    is rejection sampling from the FULL softmax with membership test
+    ``E_t < top_p`` — acceptance probability is the kept mass, >= top_p
+    by construction.
+
+    Per row we draw ``_REJECT_DRAWS`` iid candidates by inverse-CDF
+    (cumsum + searchsorted — no sort; the CDF is reused across draws) and
+    take the first accepted; a row whose draws all miss (probability
+    <= (1 - top_p)^8, ~2.6e-6 at top_p=0.8) falls back to its argmax,
+    which is always in the kept set. Cost is O(B*V) elementwise + small
+    reductions — measured ~0.18 ms at (64, 49152) vs ~3.4 ms for the r3
+    full-vocab sort (which made sampled decode 5x slower than greedy)."""
+    B, V = logits.shape
+    R = _REJECT_DRAWS
+    lf = logits.astype(jnp.float32)
+    probs = jax.nn.softmax(lf, axis=-1)
+    cdf = jnp.cumsum(probs, axis=-1)  # (B, V) nondecreasing
+    u = jax.random.uniform(rng, (B, R), jnp.float32) * cdf[:, -1:]
+    cand = jax.vmap(jnp.searchsorted)(cdf, u)  # (B, R) token ids
+    cand = jnp.minimum(cand, V - 1).astype(jnp.int32)
+    cl = jnp.take_along_axis(lf, cand, axis=1)  # (B, R) candidate logits
+    # Strictly-greater mass per candidate: one fused (B, V, R) reduce.
+    E = jnp.sum(
+        jnp.where(lf[:, :, None] > cl[:, None, :], probs[:, :, None], 0.0),
+        axis=1,
+    )  # (B, R)
+    acc = E < top_p
+    first = jnp.argmax(acc, axis=1)  # first accepted draw (0 if none)
+    tok = jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0]
+    return jnp.where(
+        jnp.any(acc, axis=1), tok, jnp.argmax(lf, axis=-1).astype(jnp.int32)
+    ).astype(jnp.int32)
 
 
 def _fast_sample(
@@ -120,29 +161,21 @@ def _fast_sample(
 
     ``warp_logits`` (the exact HF-parity transform) sorts the full
     (B, 49152) vocabulary every step — measured as the dominant cost of
-    sampled decode. This path keeps the same keep-set rule but finds it
-    inside the top ``k = max(64, top_k)`` candidates from ``lax.top_k``:
+    sampled decode (~3.4 ms at B=64). Route by knobs:
 
-    * the softmax DENOMINATOR is still computed over the full vocabulary
-      (one elementwise+reduce pass), so candidate probabilities match the
-      full softmax, not a renormalized top-k approximation;
-    * the top-p cutoff rule (exclusive cumulative mass < top_p, top-1
-      always kept) is applied over the sorted candidates — identical to
-      the full rule whenever the nucleus fits inside the candidates;
-    * coverage is CHECKED at runtime: if any row's candidate mass falls
-      short of ``top_p`` (possible for near-uniform distributions or
-      top_p ≈ 1), a ``lax.cond`` falls back to the exact full-sort
-      ``warp_logits`` path for that step. The fallback branch is compiled
-      but only executed on under-coverage, so peaked (real-checkpoint)
-      distributions never pay for it. With an explicit ``top_k <= k`` the
-      nucleus is confined to the candidates by construction and no
-      fallback exists at all.
+    * pure top-p (the serving default): ``_reject_sample`` — sort-free
+      exact rejection sampling, ~0.18 ms, any distribution. (The r4
+      first attempt used a ``lax.top_k(64)`` prefilter here; measured,
+      TPU lowers top_k to a full sort — just as slow as what it
+      replaced.)
+    * ``top_k`` set: the prefilter below — ``lax.top_k``'s sort is then
+      semantically required (the kept set is the top-k itself), and
+      top-p applies inside the k candidates:
 
     Token ids drawn are always inside the exact HF kept set
-    (tests/test_sampling.py); the categorical draw itself consumes the
-    key over (B, k) instead of (B, V), so sampled STREAMS differ from the
-    r3 full-sort path for the same seed — valid draws from the identical
-    filtered distribution.
+    (tests/test_sampling.py); the draws consume the key differently from
+    the r3 full-sort path for the same seed — valid draws from the
+    identical filtered distribution.
     """
     if seen is not None and repetition_penalty != 1.0:
         logits = _apply_penalty(logits, seen, repetition_penalty)
@@ -152,10 +185,14 @@ def _fast_sample(
     want_top_p = top_p < 1.0
     if not want_top_k and not want_top_p:
         return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
-    k = min(V, max(_NUCLEUS_K, top_k) if want_top_p else top_k)
+    if want_top_p and not want_top_k:
+        return _reject_sample(logits, top_p, rng)
+
+    # top_k set: the sort is the kept-set rule itself. (lax.top_k keeps
+    # exactly k entries; HF's value-threshold rule can keep a tie
+    # superset — drawing from the k is drawing from that kept set.)
+    k = min(V, top_k)
     vals, idx = jax.lax.top_k(logits, k)  # (B, k) descending
-    if want_top_k and top_k < k:
-        vals = jnp.where(jnp.arange(k)[None, :] < top_k, vals, -jnp.inf)
 
     def draw(r, cand_logits):
         c = jax.random.categorical(r, cand_logits, axis=-1)
@@ -165,31 +202,18 @@ def _fast_sample(
 
     if not want_top_p:
         return draw(rng, vals)
-    # Candidate probabilities under the FULL-vocab softmax (warp_logits
-    # applies softmax over the whole top_k-masked row, so the denominator
-    # must include every unmasked token, not just the k candidates).
+    # top-p confined to the k candidates, probabilities under the
+    # top_k-masked softmax (warp_logits' order: top-k mask, then top-p
+    # over the masked row — the -inf'd tail contributes nothing to the
+    # denominator).
     m = vals[:, :1]  # row max (top_k output is sorted)
-    if want_top_k:
-        denom = jnp.sum(jnp.exp(vals - m), axis=-1, keepdims=True)
-    else:
-        denom = jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)
+    denom = jnp.sum(jnp.exp(vals - m), axis=-1, keepdims=True)
     probs = jnp.exp(vals - m) / denom
     cum = jnp.cumsum(probs, axis=-1)
     keep = cum - probs < top_p  # exclusive cumulative mass
     keep = keep.at[:, 0].set(True)
     kept_vals = jnp.where(keep, vals, -jnp.inf)
-    if want_top_k:  # nucleus confined to the top_k <= k candidates
-        return draw(rng, kept_vals)
-
-    def slow(r):
-        # Exact full-sort path; temperature/penalty already applied above
-        # (x / 1.0 is bit-exact, warp_logits line comment).
-        return jax.random.categorical(
-            r, warp_logits(logits, top_p=top_p), axis=-1
-        ).astype(jnp.int32)
-
-    covered = jnp.all(cum[:, -1] >= top_p)
-    return jax.lax.cond(covered, lambda r: draw(r, kept_vals), slow, rng)
+    return draw(rng, kept_vals)
 
 
 def _sample_token(

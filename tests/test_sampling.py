@@ -225,3 +225,49 @@ def test_fast_sample_large_topk_path():
     """top_k > 64 widens the prefilter to k=top_k (still no fallback)."""
     logits = rand_logits(25, B=4, V=257)
     _fast_kept_check(logits, top_p=0.85, top_k=100)
+
+
+def test_reject_sample_membership_flat_and_peaked():
+    """_reject_sample (the sort-free fallback) draws only from HF's exact
+    kept set, for flat AND peaked logits."""
+    import jax
+
+    from mellow_tpu.models.generate import _reject_sample
+
+    for scale, top_p in ((0.01, 0.9), (3.0, 0.8), (8.0, 0.5)):
+        logits = rand_logits(31, B=6, V=513) * scale
+        want = hf_warp(logits, np.zeros((6, 1), np.int64), top_p=top_p)
+        kept = ~np.isneginf(want)
+        for seed in range(6):
+            tok = np.asarray(_reject_sample(
+                jnp.asarray(logits), top_p, jax.random.PRNGKey(seed)
+            ))
+            assert kept[np.arange(6), tok].all(), (scale, top_p, seed, tok)
+
+
+def test_reject_sample_distribution_matches_nucleus():
+    """Acceptance-conditioned draws follow the renormalized kept-set
+    distribution (chi-square-style frequency check on a small vocab)."""
+    import jax
+
+    from mellow_tpu.models.generate import _reject_sample
+
+    V = 16
+    logits = np.array([np.linspace(0, 2.0, V)], np.float32)  # (1, V)
+    top_p = 0.7
+    want = hf_warp(logits, np.zeros((1, 1), np.int64), top_p=top_p)[0]
+    kept = ~np.isneginf(want)
+    p = np.exp(logits[0] - logits[0].max())
+    p /= p.sum()
+    expect = np.where(kept, p, 0.0)
+    expect /= expect.sum()
+
+    n = 4000
+    batched = jnp.tile(jnp.asarray(logits), (n, 1))
+    tok = np.asarray(
+        _reject_sample(batched, top_p, jax.random.PRNGKey(0))
+    )
+    freq = np.bincount(tok, minlength=V) / n
+    assert kept[tok].all()
+    # 4000 draws: generous 4-sigma-ish tolerance on each kept frequency.
+    np.testing.assert_allclose(freq, expect, atol=4 * np.sqrt(0.25 / n) + 0.01)
