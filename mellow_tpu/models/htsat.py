@@ -316,9 +316,13 @@ def swin_features(
     return layer_norm(x, params["norm"])
 
 
-def tscam_head(tokens: jax.Array, params: dict, cfg: HTSATConfig) -> dict:
-    """TSCAM head (reference: htsat.py:742-796): frequency grouping, latent
-    pooling, the (SF, 3) conv as an einsum, framewise/clipwise outputs."""
+def _tscam_core(tokens: jax.Array, params: dict, cfg: HTSATConfig):
+    """Shared TSCAM math up to the per-step logits: frequency grouping,
+    latent pooling, the (527, 768, 2, 3) conv as an im2col matmul
+    (reference: htsat.py:742-779). Returns (latent (B, C), logits_t
+    (B, 527, 32)) — everything downstream of logits_t is either a
+    row-wise map over the 32 time steps or a mean, which is why the
+    compact embedding path can defer the 32x frame repeat."""
     B, N, C = tokens.shape
     SF = ST = cfg.spec_size // (2 ** (len(cfg.depths) - 1)) // cfg.patch_stride  # 8
     x = jnp.transpose(tokens, (0, 2, 1)).reshape(B, C, SF, ST)
@@ -358,6 +362,13 @@ def tscam_head(tokens: jax.Array, params: dict, cfg: HTSATConfig) -> dict:
         + params["tscam_conv"]["bias"][None, :, None]
     )
     # (B, 527, 32)
+    return latent, logits_t
+
+
+def tscam_head(tokens: jax.Array, params: dict, cfg: HTSATConfig) -> dict:
+    """TSCAM head (reference: htsat.py:742-796): frequency grouping, latent
+    pooling, the (SF, 3) conv as an einsum, framewise/clipwise outputs."""
+    latent, logits_t = _tscam_core(tokens, params, cfg)
 
     fpx = jax.nn.sigmoid(logits_t)
     fpx = jnp.transpose(fpx, (0, 2, 1))  # (B, 32, 527)
@@ -407,6 +418,38 @@ def htsat_embedding(
     oframe = out["framewise_output"] @ params["c2l"]["kernel"] + params["c2l"]["bias"]
     out["embedding"] = jnp.concatenate([out["latent_output"][:, None], oframe], axis=1)
     return out
+
+
+def htsat_embedding_compact(
+    wave: jax.Array,  # (B, 320000)
+    params: dict,
+    fe_cfg: FrontendConfig,
+    cfg: HTSATConfig,
+) -> jax.Array:
+    """Eval-only fast form of ``htsat_embedding``'s embedding output:
+    (B, 33, C) = [latent | the 32 UNIQUE frame rows].
+
+    The full (B, 1025, C) embedding's frame half is ``repeat(fpx, 32)``
+    @ c2l (the reference's interpolate-ratio-32 framewise output,
+    htsat.py:43-56,780): 1024 rows that are 32 unique rows each repeated
+    32x. Every op between here and the prefix mean-pool — the c2l
+    matmul, the projection MLP + LayerNorm — is row-wise, so computing
+    them on the 33 unique rows and re-expanding is exact and 31x
+    cheaper. ``encode_audio`` expands back to the public (B, 1025, ...)
+    shape; ``encode_audio_compact`` + ``downsample_tokens_compact`` keep
+    the compact form all the way into the prefix."""
+    enc = params["encoder"]
+    with jax.named_scope("encoder/frontend"):
+        img = fe.frontend_image(
+            wave, fe_cfg, enc["bn0"], cfg.freq_ratio, cfg.target_frames
+        )
+    with jax.named_scope("encoder/swin"):
+        tokens = swin_features(img, enc, cfg)
+    with jax.named_scope("encoder/tscam"):
+        latent, logits_t = _tscam_core(tokens, enc, cfg)
+        fpx = jnp.transpose(jax.nn.sigmoid(logits_t), (0, 2, 1))  # (B, 32, 527)
+    oframe = fpx @ params["c2l"]["kernel"] + params["c2l"]["bias"]
+    return jnp.concatenate([latent[:, None], oframe], axis=1)  # (B, 33, C)
 
 
 def htsat_embedding_long(
@@ -503,11 +546,47 @@ def encode_audio(
     """AudioEncoder.forward equivalent (mellow.py:64-68): (B, 320000) ->
     projected (B, 1025, d_proj). ``rng`` enables the train-time stochastic
     paths (SpecAugment, drop-path, projection dropout); ``mixup_lambda``
-    halves the batch by mixing even/odd rows (htsat.py:871-874)."""
+    halves the batch by mixing even/odd rows (htsat.py:871-874).
+
+    Eval calls route through the compact 33-unique-row core (see
+    ``htsat_embedding_compact``) and re-expand — per-row identical, 31x
+    fewer c2l/projection FLOPs. Training keeps the full-width path (the
+    projection dropout draws per-ELEMENT noise, so rows stop repeating)."""
+    if rng is None and mixup_lambda is None:
+        c = encode_audio_compact(wave, params, fe_cfg, cfg)  # (B, 33, D)
+        return jnp.concatenate(
+            [c[:, :1], jnp.repeat(c[:, 1:], 32, axis=1)], axis=1
+        )
     out = htsat_embedding(wave, params, fe_cfg, cfg, rng=rng,
                           mixup_lambda=mixup_lambda)
     drop_rng = None if rng is None else jax.random.fold_in(rng, 2000)
     return projection(out["embedding"], params["projection"], dropout_rng=drop_rng)
+
+
+def encode_audio_compact(
+    wave: jax.Array,
+    params: dict,
+    fe_cfg: FrontendConfig,
+    cfg: HTSATConfig,
+) -> jax.Array:
+    """Eval ``encode_audio`` in compact form: (B, 33, d_proj) = the
+    projected [latent | 32 unique frame rows]. Expanding row g of the
+    frame half 32x reproduces ``encode_audio`` exactly (row-wise ops)."""
+    emb = htsat_embedding_compact(wave, params, fe_cfg, cfg)
+    return projection(emb, params["projection"])
+
+
+def downsample_tokens_compact(x: jax.Array) -> jax.Array:
+    """``downsample_tokens`` on the compact (B, 33, D) form -> (B, 129, D).
+
+    In the full form, pooled token g (g = 0..127) averages frame tokens
+    [8g, 8g + 8), which lie inside ONE 32-repeat block (8g mod 32 <= 24),
+    so the mean-of-8-identical-rows is the unique row g//4 itself (the
+    fp sum of <=8 equal values is exact in the f32 accumulator)."""
+    B, N, D = x.shape
+    clip = x[:, :1]
+    pooled = jnp.repeat(x[:, 1:], 4, axis=1)  # (B, 128, D)
+    return jnp.concatenate([clip, pooled], axis=1)
 
 
 def downsample_tokens(x: jax.Array) -> jax.Array:

@@ -32,13 +32,18 @@ def build_prefix(
     audio_proj2: jax.Array,
     text_ids: jax.Array,  # (B, 129) int32
     text_embeds: Optional[jax.Array] = None,  # overrides embed[text_ids]
+    compact: bool = False,  # audio_proj* are (B, 33, D) compact forms
 ) -> jax.Array:
     """(B, 389, 576) = [a1(129) | sep | a2(129) | sep | text(129)]
-    (reference: decoder.py:36-55; sep = embed(token 0) for smollm2)."""
+    (reference: decoder.py:36-55; sep = embed(token 0) for smollm2).
+    With ``compact=True`` the audio inputs are the 33-unique-row eval
+    forms (htsat.encode_audio_compact) and the 8-token mean-pool becomes
+    the exact 4x repeat (htsat.downsample_tokens_compact)."""
     from mellow_tpu.models.decoders import get_decoder_ops
 
-    a1 = htsat.downsample_tokens(audio_proj1)
-    a2 = htsat.downsample_tokens(audio_proj2)
+    ds = htsat.downsample_tokens_compact if compact else htsat.downsample_tokens
+    a1 = ds(audio_proj1)
+    a2 = ds(audio_proj2)
     embed = get_decoder_ops(cfg.decoder_family).embed_table(params["decoder"])
     dtext = embed[text_ids].astype(a1.dtype) if text_embeds is None else text_embeds
     B = a1.shape[0]
@@ -51,10 +56,12 @@ def build_prefix(
 def encode_and_prefix(
     params, cfg: MellowConfig, audio1: jax.Array, audio2: jax.Array, text_ids: jax.Array
 ) -> jax.Array:
-    """generate_prefix_inference equivalent (mellow.py:100-108)."""
-    p1 = htsat.encode_audio(audio1, params, cfg.frontend, cfg.encoder)
-    p2 = htsat.encode_audio(audio2, params, cfg.frontend, cfg.encoder)
-    return build_prefix(params, cfg, p1, p2, text_ids)
+    """generate_prefix_inference equivalent (mellow.py:100-108). Inference
+    path — uses the compact 33-row encoder form (the 1024 repeated frame
+    rows are never materialized; exact, see htsat.encode_audio_compact)."""
+    p1 = htsat.encode_audio_compact(audio1, params, cfg.frontend, cfg.encoder)
+    p2 = htsat.encode_audio_compact(audio2, params, cfg.frontend, cfg.encoder)
+    return build_prefix(params, cfg, p1, p2, text_ids, compact=True)
 
 
 @functools.partial(
