@@ -148,52 +148,61 @@ def bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
 # jax ops
 # ---------------------------------------------------------------------------
 
-def frame_signal(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
-    """(B, T) -> (B, n_frames, n_fft) with center=True reflect padding
-    (torchlibrosa semantics, htsat.py:647-649). n_frames derives from the
-    static input length (1 + T // hop), so arbitrary-length waves work.
+def _frame_parts(x: jax.Array, cfg: FrontendConfig):
+    """Framing decomposed into q + 1 CONTIGUOUS slices.
 
-    Construction: the wave is viewed as (T/g, g) chunks with g =
-    gcd(hop, n_fft) so every frame start lands on a chunk boundary; frame
-    chunk c (c < n_fft/g) across all frames is then ONE strided slice of
-    the chunk axis. The 16 slices + stack lower to plain copies — a TPU
-    profile showed the previous one-shot index gather took 1.9 ms at B=32
-    (11% of the whole encoder); the strided form is a few hundred us.
-    Indices are identical, so values are bit-identical (parity-safe)."""
-    import math
+    View the (reflect-padded) wave as chunks of size ``hop``: every frame
+    start lands on a chunk boundary, so frame t is chunks [t, t + q) plus
+    the first r samples of chunk t + q (q = n_fft // hop, r = n_fft -
+    q * hop). Slice i over all frames is then ONE stride-1 slice of the
+    chunk axis — cheap bulk copies. (The r3 form used gcd(hop, n_fft)=64
+    chunks: 16 STRIDE-5 slices, each of which the TPU executes at a
+    fraction of stream rate — profiled ~1.0 ms of the B=32 encoder pass.
+    The contiguous form's 3+1 slices are ~10x cheaper, same elements.)
 
+    Returns ([(part, col)], n_frames): ``part`` is (B, n_frames, w)
+    covering frame columns [col, col + w)."""
     pad = cfg.n_fft // 2
     B = x.shape[0]
     hop, n_fft = cfg.hop_length, cfg.n_fft
     n_frames = 1 + x.shape[1] // hop
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    g = math.gcd(hop, n_fft)
-    if g >= 8:  # strided-slice construction
-        need = (n_frames - 1) * hop + n_fft
-        if x.shape[1] < need:
-            x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
-        total = -(-x.shape[1] // g) * g
-        if x.shape[1] < total:
-            x = jnp.pad(x, ((0, 0), (0, total - x.shape[1])))
-        chunks = x.reshape(B, total // g, g)
-        ch_hop, ch_frame = hop // g, n_fft // g
-        parts = [
-            jax.lax.slice(
-                chunks,
-                (0, c, 0),
-                (B, c + (n_frames - 1) * ch_hop + 1, g),
-                (1, ch_hop, 1),
-            )
-            for c in range(ch_frame)
-        ]  # each (B, n_frames, g)
-        return jnp.stack(parts, axis=2).reshape(B, n_frames, n_fft)
-    starts = np.arange(n_frames) * hop
-    idx = starts[:, None] + np.arange(n_fft)[None, :]
-    return x[:, idx]
+    q, r = divmod(n_fft, hop)
+    need_chunks = n_frames + q
+    total = need_chunks * hop
+    if x.shape[1] < total:
+        x = jnp.pad(x, ((0, 0), (0, total - x.shape[1])))
+    chunks = x[:, :total].reshape(B, need_chunks, hop)
+    parts = [
+        (jax.lax.slice(chunks, (0, i, 0), (B, i + n_frames, hop)), i * hop)
+        for i in range(q)
+    ]
+    if r:
+        parts.append(
+            (jax.lax.slice(chunks, (0, q, 0), (B, q + n_frames, r)), q * hop)
+        )
+    return parts, n_frames
+
+
+def frame_signal(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
+    """(B, T) -> (B, n_frames, n_fft) with center=True reflect padding
+    (torchlibrosa semantics, htsat.py:647-649). n_frames derives from the
+    static input length (1 + T // hop), so arbitrary-length waves work.
+    See ``_frame_parts`` for the construction; values are bit-identical
+    to the one-shot gather (same elements)."""
+    parts, n_frames = _frame_parts(x, cfg)
+    return jnp.concatenate([p for p, _ in parts], axis=2)
 
 
 def power_spectrogram(x: jax.Array, cfg: FrontendConfig) -> jax.Array:
-    """(B, T) waveform -> (B, n_frames, n_bins) power spectrum |STFT|^2."""
+    """(B, T) waveform -> (B, n_frames, n_bins) power spectrum |STFT|^2.
+
+    ONE (B*F, n_fft) @ (n_fft, 2*n_bins) matmul over the concatenated
+    frame parts. A split-K variant (one matmul per contiguous part, no
+    frame concat) was profiled SLOWER: the four partial products chain as
+    f32 (B, 1001, 1026) adds in HBM (~131 MB each way per add, 3x0.42 ms)
+    because XLA does not fuse matmul outputs — the 65 MB bf16 frame
+    concat + single matmul is the cheaper shape."""
     frames = frame_signal(x, cfg)  # (B, F, n_fft)
     basis = jnp.asarray(dft_basis(cfg.n_fft))  # (n_fft, 2*n_bins)
     proj = frames @ basis  # (B, F, 2*n_bins)  [MXU]
