@@ -48,7 +48,7 @@ def make_variant(which):
         cos_ref, sin_ref, p_ref,
         out_ref, k_ref, v_ref,
         q_s, k_s, v_s, o_s,
-        *, H, KV, hd, eps, scale, SP, S_real,
+        *, H, KV, hd, eps, scale, SP, S_real, kv_quant=False,
     ):
         f32 = jnp.float32
         x = x_ref[0]

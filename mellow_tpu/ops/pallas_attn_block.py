@@ -74,6 +74,68 @@ def _rope_heads(ref, n_heads, hd, cos, sin, blk_ref, mm):
         ref[:, sl] = xh * cos + mm(xh, blk_ref) * sin
 
 
+def _attn_row_block(
+    q_s, k_s, v_s, o_s, *, H, KV, hd, scale, dt, r0, r1, n_cols
+):
+    """Causal GQA attention for query rows [r0, r1) against key/value rows
+    [0, n_cols), writing o_s rows [r0, r1). Exact per row: a causal row r
+    only attends cols <= r, so any n_cols > r1 - 1 is complete; masked
+    score lanes are exp(-1e30 - m) == 0.0 exactly, so the shorter top
+    block is BITWISE identical to the full-width dot.
+
+    Why blocks: one whole-SP score dot does SP^2 work where the causal
+    triangle needs half. Fine-grained triangle skipping was measured
+    SLOWER in r3 (36 skinny dots, ops/pallas_attention.py note); TWO
+    row blocks keep M >= 200 beefy and still cut score+pv FLOPs 25%
+    (top half: SP/2 x SP/2 instead of SP/2 x SP). Measured on the w8a8
+    block at B=256/S=389 (profile_prefill.py, r4): 3.03 -> 2.91 ms/layer
+    (whole-prefill while loop 157.4 -> 153.8 ms)."""
+    f32 = jnp.float32
+    rep = H // KV
+    M = r1 - r0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M, n_cols), 0) + r0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (M, n_cols), 1)
+    causal = rows >= cols
+    for g in range(KV):
+        k_g = k_s[:n_cols, g * hd : (g + 1) * hd]  # (n_cols, hd)
+        v_g = v_s[:n_cols, g * hd : (g + 1) * hd]
+        for r in range(rep):
+            hh = g * rep + r
+            q_h = q_s[r0:r1, hh * hd : (hh + 1) * hd]
+            s = jax.lax.dot_general(
+                q_h, k_g, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) * scale
+            s = jnp.where(causal, s, _NEG)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            denom = jnp.sum(e, axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                e.astype(dt), v_g, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            o_s[r0:r1, hh * hd : (hh + 1) * hd] = (o / denom).astype(dt)
+
+
+def _attention(q_s, k_s, v_s, o_s, *, H, KV, hd, scale, SP, dt):
+    """Row-blocked causal attention over the scratch refs (see
+    _attn_row_block). Block boundaries must be sublane-aligned (8).
+    TWO blocks is the measured optimum at the B=256/S=389 w8a8 prefill
+    shape (profile_prefill.py, r4): mono 3.03 / 2 blocks 2.91 / 4 blocks
+    3.44 ms/layer — the FLOP model says 0.75x / 0.625x, but at 4 blocks
+    the M=104 dots' fixed overhead swamps the saved work (the same
+    skinny-dot wall as r3's fine-grained triangle skip). Keep 2."""
+    n_blk = 2 if SP >= 128 else 1
+    bounds = [((SP * i // n_blk + 7) // 8) * 8 for i in range(n_blk)] + [SP]
+    for r0, r1 in zip(bounds[:-1], bounds[1:]):
+        if r1 <= r0:
+            continue
+        _attn_row_block(
+            q_s, k_s, v_s, o_s, H=H, KV=KV, hd=hd, scale=scale, dt=dt,
+            r0=r0, r1=r1, n_cols=r1,
+        )
+
+
 def _emit_quantized_kv(k_s, v_s, k_ref, v_ref, ksc_ref, vsc_ref, SP, S_real):
     """int8-cache epilogue: quantize the roped k and v rows in VMEM
     (llama.quantize_kv formula — symmetric per-position int8 over the
@@ -153,30 +215,10 @@ def _kernel(
     v_s[...] = v
 
     # --- causal GQA attention (same structure as pallas_attention._kernel,
-    # reading the scratch refs so head slices are ref slices) ---
-    rep = H // KV
-    rows = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 1)
-    causal = rows >= cols
-    for g in range(KV):
-        k_g = k_s[:, g * hd : (g + 1) * hd]  # (SP, hd)
-        v_g = v_s[:, g * hd : (g + 1) * hd]
-        for r in range(rep):
-            hh = g * rep + r
-            q_h = q_s[:, hh * hd : (hh + 1) * hd]
-            s = jax.lax.dot_general(
-                q_h, k_g, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            ) * scale
-            s = jnp.where(causal, s, _NEG)
-            m = jnp.max(s, axis=1, keepdims=True)
-            e = jnp.exp(s - m)
-            denom = jnp.sum(e, axis=1, keepdims=True)
-            o = jax.lax.dot_general(
-                e.astype(x.dtype), v_g, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-            o_s[:, hh * hd : (hh + 1) * hd] = (o / denom).astype(x.dtype)
+    # reading the scratch refs so head slices are ref slices; two causal
+    # row blocks, see _attn_row_block) ---
+    _attention(q_s, k_s, v_s, o_s, H=H, KV=KV, hd=hd, scale=scale, SP=SP,
+               dt=x.dtype)
 
     # --- output projection + residual ---
     out_ref[0] = x + mm(o_s[...], wo_ref)
@@ -367,30 +409,10 @@ def _kernel_w8a8(
     # per-row q / scalar-scale k/v / fixed-127 softmax weights — was
     # measured SLOWER: 15.1 vs 13.7 us/row at B=64/S=389. The hd=64 dots'
     # K/N=64 cap doesn't lift under int8, and the per-head quantize VPU
-    # chains add on top; benchmarks/exp_attn_block_parts.py.)
-    rep = H // KV
-    rows = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (SP, SP), 1)
-    causal = rows >= cols
-    for g in range(KV):
-        k_g = k_s[:, g * hd : (g + 1) * hd]  # (SP, hd)
-        v_g = v_s[:, g * hd : (g + 1) * hd]
-        for r in range(rep):
-            hh = g * rep + r
-            q_h = q_s[:, hh * hd : (hh + 1) * hd]
-            s = jax.lax.dot_general(
-                q_h, k_g, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            ) * scale
-            s = jnp.where(causal, s, _NEG)
-            m = jnp.max(s, axis=1, keepdims=True)
-            e = jnp.exp(s - m)
-            denom = jnp.sum(e, axis=1, keepdims=True)
-            o = jax.lax.dot_general(
-                e.astype(dt), v_g, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-            o_s[:, hh * hd : (hh + 1) * hd] = (o / denom).astype(dt)
+    # chains add on top; benchmarks/exp_attn_block_parts.py.) Two causal
+    # row blocks (see _attn_row_block).
+    _attention(q_s, k_s, v_s, o_s, H=H, KV=KV, hd=hd, scale=scale, SP=SP,
+               dt=dt)
 
     o8, os = _rowquant(o_s[...].astype(f32))
     out_ref[0] = x + (mm8(o8, wo_ref) * os * so_ref[...].astype(f32)).astype(
