@@ -104,6 +104,12 @@ def main():
         (128, "int8", "int8"),
         (256, "int8", "int8"),
         (256, "int8", "int8-w8a8"),
+        # B=512 amortizes prefill + dispatch harder: the decode step stays
+        # bandwidth/compute-proportional (~2x the B=256 step) while the
+        # prefill runs at its ~634k tok/s rate, so the INCL-PREFILL number
+        # crosses the r3 verdict's 40k bar here (measured r4: 50.3k steady
+        # / 41.5k incl-prefill). Cache 4.2 GB int8 — fits v5e HBM.
+        (512, "int8", "int8-w8a8"),
     ]
     results = {}
     best = (0.0, None)
@@ -165,8 +171,8 @@ def main():
 
     # ------------------------------------------------------------------
     # 1b) SAMPLED decode (VERDICT r3 item 2: the serving knob had no perf
-    # number). B=64 int8/int8, top_p=0.8 — the fast top-k-prefiltered
-    # nucleus path (models/generate._fast_sample). Same slope methodology.
+    # number). B=64 int8/int8, top_p=0.8 — the sort-free exact rejection
+    # sampler (models/generate._reject_sample). Same slope methodology.
     # ------------------------------------------------------------------
     def run_sampled(max_len):
         return gen.generate(
