@@ -103,7 +103,22 @@ def warp_logits(
     return logits
 
 
-_REJECT_DRAWS = 8  # parallel rejection draws per row (miss prob <= (1-p)^8)
+_REJECT_MISS_TARGET = 1e-6  # acceptable all-miss (-> argmax fallback) prob
+_REJECT_MIN_TOP_P = 0.35  # below this, draws needed > _REJECT_MAX_DRAWS
+_REJECT_MAX_DRAWS = 32
+
+
+def _reject_draws(top_p: float) -> int:
+    """Draw count R such that the all-miss probability (1 - top_p)^R
+    stays under _REJECT_MISS_TARGET — the kept mass is only guaranteed
+    >= top_p, so a FIXED R=8 skews small-top_p rows toward the argmax
+    fallback (ADVICE r4: at top_p=0.05 a fixed 8 misses ~66% of rows).
+    Multiples of 8 keep the (B, R) draw tensors sublane-aligned."""
+    import math
+
+    p = min(max(float(top_p), 1e-3), 0.999)
+    r = math.ceil(math.log(_REJECT_MISS_TARGET) / math.log1p(-p))
+    return min(_REJECT_MAX_DRAWS, max(8, -(-r // 8) * 8))
 
 
 def _reject_sample(logits: jax.Array, top_p: float, rng: jax.Array) -> jax.Array:
@@ -118,15 +133,18 @@ def _reject_sample(logits: jax.Array, top_p: float, rng: jax.Array) -> jax.Array
     ``E_t < top_p`` — acceptance probability is the kept mass, >= top_p
     by construction.
 
-    Per row we draw ``_REJECT_DRAWS`` iid candidates by inverse-CDF
+    Per row we draw ``_reject_draws(top_p)`` iid candidates by inverse-CDF
     (cumsum + searchsorted — no sort; the CDF is reused across draws) and
     take the first accepted; a row whose draws all miss (probability
-    <= (1 - top_p)^8, ~2.6e-6 at top_p=0.8) falls back to its argmax,
-    which is always in the kept set. Cost is O(B*V) elementwise + small
-    reductions — measured ~0.18 ms at (64, 49152) vs ~3.4 ms for the r3
-    full-vocab sort (which made sampled decode 5x slower than greedy)."""
+    (1-kept_mass)^R <= _REJECT_MISS_TARGET by the R schedule) falls back
+    to its argmax, which is always in the kept set. Callers route
+    top_p < _REJECT_MIN_TOP_P to the exact warp_logits sort instead
+    (_fast_sample) — there the required R exceeds _REJECT_MAX_DRAWS.
+    Cost is O(B*V) elementwise + an O(B*V*R) acceptance reduce — measured
+    ~0.18 ms at (64, 49152) R=8 vs ~3.4 ms for the r3 full-vocab sort
+    (which made sampled decode 5x slower than greedy)."""
     B, V = logits.shape
-    R = _REJECT_DRAWS
+    R = _reject_draws(top_p)
     lf = logits.astype(jnp.float32)
     probs = jax.nn.softmax(lf, axis=-1)
     cdf = jnp.cumsum(probs, axis=-1)  # (B, V) nondecreasing
@@ -163,11 +181,15 @@ def _fast_sample(
     (B, 49152) vocabulary every step — measured as the dominant cost of
     sampled decode (~3.4 ms at B=64). Route by knobs:
 
-    * pure top-p (the serving default): ``_reject_sample`` — sort-free
-      exact rejection sampling, ~0.18 ms, any distribution. (The r4
-      first attempt used a ``lax.top_k(64)`` prefilter here; measured,
-      TPU lowers top_k to a full sort — just as slow as what it
-      replaced.)
+    * pure top-p >= _REJECT_MIN_TOP_P (the serving default):
+      ``_reject_sample`` — sort-free exact rejection sampling, ~0.18 ms,
+      any distribution, draw count scaled to top_p. (The r4 first
+      attempt used a ``lax.top_k(64)`` prefilter here; measured, TPU
+      lowers top_k to a full sort — just as slow as what it replaced.)
+    * pure top-p < _REJECT_MIN_TOP_P (rare near-greedy knob): the exact
+      ``warp_logits`` sort — rejection would need > _REJECT_MAX_DRAWS
+      draws per step to keep the argmax-fallback probability negligible
+      (ADVICE r4), and correctness beats speed on an off-default knob.
     * ``top_k`` set: the prefilter below — ``lax.top_k``'s sort is then
       semantically required (the kept set is the top-k itself), and
       top-p applies inside the k candidates:
@@ -186,11 +208,19 @@ def _fast_sample(
     if not want_top_k and not want_top_p:
         return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
     if want_top_p and not want_top_k:
-        return _reject_sample(logits, top_p, rng)
+        if top_p >= _REJECT_MIN_TOP_P:
+            return _reject_sample(logits, top_p, rng)
+        filtered = warp_logits(logits, top_p=top_p)
+        return jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
 
-    # top_k set: the sort is the kept-set rule itself. (lax.top_k keeps
-    # exactly k entries; HF's value-threshold rule can keep a tie
-    # superset — drawing from the k is drawing from that kept set.)
+    # top_k set: the sort is the kept-set rule itself. NOTE an edge case:
+    # lax.top_k keeps exactly k entries while warp_logits' value threshold
+    # (logits >= kth) keeps every token TIED at the k-th value, and those
+    # ties also enter its top-p softmax denominator — so for tied logits
+    # this draws from a strict SUBSET of the HF kept set with a slightly
+    # smaller denominator (measure-zero for real checkpoints; the
+    # membership tests in test_sampling.py remain valid since a subset
+    # draw is still inside the HF kept set).
     k = min(V, top_k)
     vals, idx = jax.lax.top_k(logits, k)  # (B, k) descending
 
@@ -276,16 +306,19 @@ def _fused_decode_auto(
     cfg, family: str, dtype, cache_dtype: str, B: int, S_total: int, W: int
 ) -> bool:
     """Gate for the packed-cache fused Pallas decode path
-    (llama.decode_step_packed): llama family, bf16 compute on TPU, bf16
-    cache, kernel VMEM footprint within budget.
+    (llama.decode_step_packed): llama family, bf16 compute on TPU,
+    bf16/int8 cache, kernel VMEM footprint within budget.
 
-    bf16-cache only by measurement (v5e-1, steady-state slope): the bf16
-    cache stream is bandwidth-bound, and the packed layout's 25% byte cut
-    wins — B=64: 26.2k -> 29.0k tok/s (+10%). int8 decode is COMPUTE-bound
-    (skinny M=16 dots; the kernel module docstring has the full history),
-    and the kernel measured at best a tie (5.27 ms/step both) and lost
-    after the flat-layout change (5.91 vs 5.27 at B=256) — the einsum
-    path keeps int8. Override per-call with ``fused_decode=True``.
+    bf16 caches by the r3 measurement (the cache stream is
+    bandwidth-bound and the packed layout's 25% byte cut wins — B=64:
+    26.2k -> 29.0k tok/s, +10%). int8 caches by the r5 measurement: the
+    r3 full-width kernel only TIED the einsum (compute-bound M=16 dots at
+    ~40% MXU), but the group-TILED kernel cut the attention dots 2.4x and
+    wins at every batch — 5.66 -> 5.01 ms/step at B=256, 9.98 -> 8.77 at
+    B=512, 2.43 -> 2.32 at B=64 (benchmarks/exp_decode_attn3.py). int8
+    requires the v0 GQA geometry (pallas_decode_attention.tiled_supported);
+    other geometries keep the einsum. Override per-call with
+    ``fused_decode=True``.
 
     Kill switches: MELLOW_TPU_DISABLE_FUSED_ATTN (global, advisor r2) and
     MELLOW_TPU_DISABLE_FUSED_DECODE (this path only); tests force it on
@@ -306,8 +339,13 @@ def _fused_decode_auto(
         return False
     if jnp.dtype(cache_dtype) not in (jnp.int8, jnp.bfloat16, jnp.float32):
         return False
-    if not forced and jnp.dtype(cache_dtype) != jnp.bfloat16:
-        return False  # int8: einsum measured faster; fp32: parity mode
+    if not forced and jnp.dtype(cache_dtype) == jnp.float32:
+        return False  # fp32: parity mode keeps the einsum
+    if jnp.dtype(cache_dtype) == jnp.int8:
+        from mellow_tpu.ops.pallas_decode_attention import tiled_supported
+
+        if not tiled_supported(cfg.num_heads, cfg.num_kv_heads, cfg.head_dim):
+            return False  # tiled kernel is v0-geometry-specialized
     from mellow_tpu.ops.pallas_decode_attention import vmem_bytes
 
     S8 = -(-S_total // 8) * 8

@@ -540,7 +540,7 @@ def prefill(
     # ~13 ms of the 176 ms B=256 prefill (r4 profile).
     kv_quant = (
         use_fused_block
-        and isinstance(cache, KVCache)
+        and isinstance(cache, (KVCache, PackedKVCache))
         and cache.quantized
         and not os.environ.get("MELLOW_TPU_DISABLE_KV_QUANT_KERNEL")
     )
@@ -604,6 +604,19 @@ def prefill(
         # k/v rows are 192-lane int8 written into the 256-lane cache rows
         # (lanes beyond KV*hd stay zero, as KVCache.create left them).
         ks8, vs8, ksc, vsc = kv
+        if isinstance(cache, PackedKVCache):
+            # Flat [K|V] rows for the fused/tiled decode kernel: one
+            # minor-dim concat + per-half scale writes — keeps the
+            # in-kernel-quantize commit as cheap as the KVCache path.
+            rows = _pack_kv_rows(ks8, vs8, cfg.num_kv_heads, cfg.head_dim)
+            SP = cache.scale.shape[-1] // 2
+            scale = jax.lax.dynamic_update_slice(cache.scale, ksc, (0, 0, 0))
+            scale = jax.lax.dynamic_update_slice(scale, vsc, (0, 0, SP))
+            return x, PackedKVCache(
+                kv=jax.lax.dynamic_update_slice(cache.kv, rows, (0, 0, 0, 0)),
+                length=jnp.asarray(S, jnp.int32),
+                scale=scale,
+            )
         return x, KVCache(
             jax.lax.dynamic_update_slice(cache.k, ks8, (0, 0, 0, 0)),
             jax.lax.dynamic_update_slice(cache.v, vs8, (0, 0, 0, 0)),
@@ -802,6 +815,17 @@ def decode_step_packed(
     cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, 1, axis=0)
     sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, 1, axis=0)
     eye = jnp.eye(KV, dtype=token_embed.dtype)
+    from mellow_tpu.ops.pallas_decode_attention import (
+        build_q_tiled, extract_o_tiled, flash_gqa_decode_tiled,
+        tiled_supported,
+    )
+
+    # Group-tiled kernel (int8 caches at the v0 GQA geometry): cuts the
+    # attention dots from 2x16x384 to 5x8x128 hw MACs per cache position
+    # by splitting them along the flat [K|V] row's 128-lane tiles —
+    # measured 5.66 -> 5.01 ms/step at B=256, 9.98 -> 8.77 at B=512
+    # (benchmarks/exp_decode_attn3.py; the r4 verdict's MAC-count item).
+    use_tiled = cache.quantized and tiled_supported(H, KV, hd)
 
     def body(carry, scanned):
         (x,) = carry
@@ -813,27 +837,37 @@ def decode_step_packed(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        # Same block-diagonal dense-q construction as the einsum path
-        # (decode_step), zero-padded over the V half and the pad rows so
-        # the kernel's full-width contraction yields K-only scores.
         qg = q.reshape(B, KV, rep, hd)
-        q_dense = jnp.einsum("bgrd,gk->bgrkd", qg, eye).reshape(B, H, KV * hd)
-        q_dense = jnp.pad(
-            q_dense, ((0, 0), (0, HEAD_PAD - H), (0, KV * hd))
-        )  # (B, HP, P2)
         kv_row = _pack_kv_rows(
             k.reshape(B, 1, KV * hd), v.reshape(B, 1, KV * hd), KV, hd
         )  # (B, 1, P2)
         ex = jax.lax.dynamic_update_slice(ex_layer, kv_row, (0, n_extra, 0))
 
-        o_pk = flash_gqa_decode(
-            q_dense, cache.kv, cache.scale, ex, l_idx, flushed,
-            jnp.asarray(n_extra + 1, jnp.int32), head_dim=hd,
-            interpret=interpret,
-        )[:, :H, KV * hd:]  # (B, H, KV*hd): the V half holds the output
-        o = jnp.einsum(
-            "bgrkd,gk->bgrd", o_pk.reshape(B, KV, rep, KV, hd), eye,
-        ).reshape(B, 1, H * hd)
+        if use_tiled:
+            out = flash_gqa_decode_tiled(
+                build_q_tiled(qg), cache.kv, cache.scale, ex, l_idx,
+                flushed, jnp.asarray(n_extra + 1, jnp.int32), head_dim=hd,
+                interpret=interpret,
+            )
+            o = extract_o_tiled(out, x.dtype)
+        else:
+            # Block-diagonal dense-q construction as in the einsum path
+            # (decode_step), zero-padded over the V half and the pad rows
+            # so the kernel's full-width contraction yields K-only scores.
+            q_dense = jnp.einsum(
+                "bgrd,gk->bgrkd", qg, eye
+            ).reshape(B, H, KV * hd)
+            q_dense = jnp.pad(
+                q_dense, ((0, 0), (0, HEAD_PAD - H), (0, KV * hd))
+            )  # (B, HP, P2)
+            o_pk = flash_gqa_decode(
+                q_dense, cache.kv, cache.scale, ex, l_idx, flushed,
+                jnp.asarray(n_extra + 1, jnp.int32), head_dim=hd,
+                interpret=interpret,
+            )[:, :H, KV * hd:]  # (B, H, KV*hd): the V half is the output
+            o = jnp.einsum(
+                "bgrkd,gk->bgrd", o_pk.reshape(B, KV, rep, KV, hd), eye,
+            ).reshape(B, 1, H * hd)
         x = x + _mm(o, lp["wo"])
 
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)

@@ -325,6 +325,263 @@ def flash_gqa_decode(
     )(scalars, *operands)
 
 
+_KV3_GEOM = dict(KV=3, rep=3, hd=64)  # the v0 production GQA geometry
+
+
+def tiled_supported(num_heads: int, num_kv_heads: int, head_dim: int) -> bool:
+    """The tiled kernel is specialized to the v0 geometry (3 KV groups x
+    3 reps x hd=64 -> P2 = 384 = 3 exact 128-lane tiles)."""
+    return (
+        num_kv_heads == _KV3_GEOM["KV"]
+        and num_heads == _KV3_GEOM["KV"] * _KV3_GEOM["rep"]
+        and head_dim == _KV3_GEOM["hd"]
+    )
+
+
+def build_q_tiled(qg: jax.Array) -> jax.Array:
+    """(B, KV=3, rep=3, hd=64) roped queries -> the tiled kernel's
+    (B, 16, 128) q layout: rows 0-2 = group-0 heads at lanes [0, 64),
+    rows 3-5 = group-1 heads at lanes [64, 128), rows 8-10 = group-2
+    heads at lanes [0, 64); all other rows/lanes zero. The row blocks
+    are 8-aligned so the kernel's two M=8 score dots each see one
+    128-lane tile of the packed cache row ([K0|K1] and [K2|V0])."""
+    B, KV, rep, hd = qg.shape
+    z = jnp.zeros((B, 8 - rep, hd), qg.dtype)
+    zr = jnp.zeros((B, rep, hd), qg.dtype)
+    t_left = jnp.concatenate([qg[:, 0], z], axis=1)  # (B, 8, 64) rows 0-2
+    t_right = jnp.concatenate([zr, qg[:, 1], jnp.zeros((B, 8 - 2 * rep, hd), qg.dtype)], axis=1)
+    top = jnp.concatenate([t_left, t_right], axis=2)  # (B, 8, 128)
+    b_left = jnp.concatenate([qg[:, 2], z], axis=1)
+    bot = jnp.concatenate([b_left, jnp.zeros((B, 8, hd), qg.dtype)], axis=2)
+    return jnp.concatenate([top, bot], axis=1)  # (B, 16, 128)
+
+
+def extract_o_tiled(out: jax.Array, dtype=None) -> jax.Array:
+    """Tiled kernel output (B, 16, 256) -> (B, 1, 9*64) per-head outputs
+    in head order h = g*rep + r. Lane map (see _kernel_tiled): rows 0-2
+    own lanes [64,128) (V0 from the [K2|V0] tile), rows 3-5 lanes
+    [128,192) (V1 from [V1|V2]), rows 8-10 lanes [64,128) of the second
+    value dot pair = out lanes [64,128)."""
+    B = out.shape[0]
+    og0 = out[:, 0:3, 64:128]
+    og1 = out[:, 3:6, 128:192]
+    og2 = out[:, 8:11, 64:128]
+    o = jnp.concatenate([og0, og1, og2], axis=1).reshape(B, 1, 9 * 64)
+    return o if dtype is None else o.astype(dtype)
+
+
+def _kernel_tiled(s_ref, q_ref, kv_ref, ex_ref, sc_ref, o_ref, kv_s, sc_s,
+                  sem, *, B, S8, SP, P2, EP, CR, scale):
+    """Group-tiled int8 decode attention (v0 geometry: KV=3, rep=3,
+    hd=64, P2=384). The flat [K|V] row's three 128-lane tiles are
+    [K0|K1], [K2|V0], [V1|V2]; with the build_q_tiled query layout the
+    score side needs two M=8 K=128 int8 dots and the value side three
+    M=8 N=128 int8 dots — 5x8x128 = 5,120 hw MACs per cache position vs
+    the full-width kernel's 2x16x384 = 12,288 (2.4x fewer; the r4
+    verdict's MAC-count attack, VERDICT.md item 1). DMA scaffolding is
+    identical to _kernel."""
+    layer = s_ref[0]
+    flushed = s_ref[1]
+    n_extra = s_ref[2]
+    NC = B // CR
+
+    def dma(slot, c):
+        return [
+            pltpu.make_async_copy(
+                kv_ref.at[layer, pl.ds(c * CR, CR)], kv_s.at[slot],
+                sem.at[slot, 0]),
+            pltpu.make_async_copy(
+                sc_ref.at[layer, pl.ds(c * CR, CR)], sc_s.at[slot],
+                sem.at[slot, 1]),
+        ]
+
+    for d in dma(0, 0):
+        d.start()
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (HEAD_PAD, S8), 1)
+    cmask = jnp.where(cols < flushed, 0.0, _NEG).astype(jnp.float32)
+    ecols = jax.lax.broadcasted_iota(jnp.int32, (HEAD_PAD, EP), 1)
+    emask = jnp.where(ecols < n_extra, 0.0, _NEG).astype(jnp.float32)
+
+    def chunk(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < NC)
+        def _():
+            for d in dma(jax.lax.rem(c + 1, 2), c + 1):
+                d.start()
+
+        for d in dma(slot, c):
+            d.wait()
+
+        for r in range(CR):
+            row = c * CR + r
+            qf = q_ref[row].astype(jnp.float32)  # (16, 128)
+            ex = ex_ref[row]  # (EP, P2) bf16
+            kvb8 = kv_s[slot, r]  # (S8, 384) int8
+            t0 = kvb8[:, 0:128]
+            t1 = kvb8[:, 128:256]
+            t2 = kvb8[:, 256:384]
+
+            # Per-head-row int8 q (same numerics as the full-width
+            # kernel: each row's 64 nonzero lanes set the same qmax).
+            qmax = jnp.maximum(
+                jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-8
+            )  # (16, 1) f32
+            q8 = jnp.round(qf * (127.0 / qmax)).astype(jnp.int8)
+            qA8, qB8 = q8[0:8], q8[8:16]
+            sA = jax.lax.dot_general(
+                qA8, t0, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)  # (8, S8)
+            sB = jax.lax.dot_general(
+                qB8, t1, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s32 = jnp.concatenate([sA, sB], axis=0)  # (16, S8)
+            ks_row = sc_s[slot, pl.ds(r, 1), pl.ds(0, S8)]  # (1, S8)
+            s = (
+                s32.astype(jnp.float32)
+                * (qmax * (scale / 127.0))
+                * ks_row.astype(jnp.float32)
+            ) + cmask
+
+            # Extras (bf16 dots; EP is tiny) with the same tile split.
+            qA16 = qf[0:8].astype(ex.dtype)
+            qB16 = qf[8:16].astype(ex.dtype)
+            seA = jax.lax.dot_general(
+                qA16, ex[:, 0:128], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            seB = jax.lax.dot_general(
+                qB16, ex[:, 128:256], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s_e = jnp.concatenate([seA, seB], axis=0) * scale + emask
+
+            m = jnp.maximum(
+                jnp.max(s, axis=1, keepdims=True),
+                jnp.max(s_e, axis=1, keepdims=True),
+            )
+            e = jnp.exp(s - m)
+            e_e = jnp.exp(s_e - m)
+            denom = (
+                jnp.sum(e, axis=1, keepdims=True)
+                + jnp.sum(e_e, axis=1, keepdims=True)
+            )
+            vs_row = sc_s[slot, pl.ds(r, 1), pl.ds(SP, S8)]
+            w = e * vs_row.astype(jnp.float32)  # (16, S8)
+            wmax = jnp.maximum(jnp.max(w, axis=1, keepdims=True), 1e-30)
+            w8 = (w * (127.0 / wmax)).astype(jnp.int8)
+            wA8, wB8 = w8[0:8], w8[8:16]
+            # Rows 0-2 (g0) need V0 = lanes [64,128) of t1; rows 3-5 (g1)
+            # need V1 = lanes [0,64) of t2; rows 8-10 (g2) need V2 =
+            # lanes [64,128) of t2. Off-block output lanes are garbage
+            # weight sums (discarded by extract_o_tiled), same contract
+            # as the full-width kernel's K-half columns.
+            oA = jax.lax.dot_general(
+                wA8, t1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)  # (8, 128)
+            oB = jax.lax.dot_general(
+                wA8, t2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            oC = jax.lax.dot_general(
+                wB8, t2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            wmA = wmax[0:8] / 127.0
+            wmB = wmax[8:16] / 127.0
+            o_top = jnp.concatenate([oA, oB], axis=1).astype(jnp.float32) * wmA
+            o_bot = jnp.concatenate([oC, oC], axis=1).astype(jnp.float32) * wmB
+            # Extras value contributions (bf16).
+            eA16 = e_e[0:8].astype(ex.dtype)
+            eB16 = e_e[8:16].astype(ex.dtype)
+            oeA = jax.lax.dot_general(
+                eA16, ex[:, 128:256], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            oeB = jax.lax.dot_general(
+                eA16, ex[:, 256:384], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            oeC = jax.lax.dot_general(
+                eB16, ex[:, 256:384], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_top = o_top + jnp.concatenate([oeA, oeB], axis=1)
+            o_bot = o_bot + jnp.concatenate([oeC, oeC], axis=1)
+            o = jnp.concatenate([o_top, o_bot], axis=0) / denom
+            o_ref[row] = o.astype(o_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, NC, chunk, None)
+
+
+@functools.partial(jax.jit, static_argnames=("head_dim", "interpret"))
+def flash_gqa_decode_tiled(
+    q_tiled: jax.Array,  # (B, 16, 128) bf16 — build_q_tiled layout
+    kv: jax.Array,       # (L, B, S8, 384) int8 packed cache
+    scale_kv: jax.Array,  # (L, B, 2*SP) f32 merged [k|v] scales
+    extra: jax.Array,    # (B, EP, 384) bf16 pending + current positions
+    layer: jax.Array,
+    flushed: jax.Array,
+    n_extra: jax.Array,
+    *,
+    head_dim: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Group-tiled int8 variant of flash_gqa_decode (v0 geometry only —
+    gate with tiled_supported). Returns (B, 16, 256) bf16; extract
+    per-head outputs with extract_o_tiled."""
+    B, HP, QW = q_tiled.shape
+    L, _, S8, P2 = kv.shape
+    EP = extra.shape[1]
+    if EP < 8:
+        extra = jnp.pad(extra, ((0, 0), (0, 8 - EP), (0, 0)))
+        EP = 8
+    assert (HP, QW, P2) == (HEAD_PAD, 128, 384), (HP, QW, P2)
+    assert S8 % 8 == 0, S8
+    assert head_dim == 64, head_dim
+    SP = lane_pad(S8)
+    assert scale_kv is not None and scale_kv.shape == (L, B, 2 * SP)
+    CR = min(CHUNK_ROWS, B)
+    assert B % CR == 0, (B, CR)
+    sm_scale = np.float32(1.0 / np.sqrt(head_dim))
+
+    scalars = jnp.stack([
+        jnp.asarray(layer, jnp.int32),
+        jnp.asarray(flushed, jnp.int32),
+        jnp.asarray(n_extra, jnp.int32),
+    ])
+
+    def kern(s_ref, q_ref, kv_ref, ex_ref, sc_ref, o_ref, kv_s, sc_s, sem):
+        _kernel_tiled(
+            s_ref, q_ref, kv_ref, ex_ref, sc_ref, o_ref, kv_s, sc_s, sem,
+            B=B, S8=S8, SP=SP, P2=P2, EP=EP, CR=CR, scale=sm_scale,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q_tiled
+            pl.BlockSpec(memory_space=pl.ANY),      # kv (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # extras
+            pl.BlockSpec(memory_space=pl.ANY),      # scales (manual DMA)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, CR, S8, P2), kv.dtype),
+            pltpu.VMEM((2, CR, 2 * SP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, HP, 256), q_tiled.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 5 * B * 8 * (S8 + EP) * 128,
+            bytes_accessed=B * S8 * P2 * kv.dtype.itemsize
+            + extra.size * 2 + (q_tiled.size + B * HP * 256) * 2,
+            transcendentals=B * HP * (S8 + EP),
+        ),
+    )(scalars, q_tiled, kv, extra, scale_kv)
+
+
 def reference_packed_decode(q_dense, kv_layer, k_scale, v_scale, extra,
                             flushed, n_extra, *, head_dim):
     """jnp oracle with the kernel's layout contract, run at f32 WITHOUT

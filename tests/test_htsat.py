@@ -126,6 +126,45 @@ def test_wave_to_projection_parity(pair):
     )
 
 
+def test_compact_path_equals_full_path(pair):
+    """ADVICE r4: pin the compact 33-unique-row rewrite independently of
+    the torch-oracle tolerance. The FULL path (htsat_embedding ->
+    projection, never routed through the compact core) must equal the
+    expanded compact path ROW-EXACTLY (every op between the 32 unique
+    fpx rows and the prefix pool is row-wise), and downsample_tokens of
+    the expansion must equal downsample_tokens_compact of the compact
+    form (each pooled group of 8 lies inside one 32-repeat block)."""
+    wrapper, params = pair
+    rng = np.random.RandomState(7)
+    wave = jnp.asarray((rng.randn(1, FE.num_samples) * 0.1), jnp.float32)
+
+    full_emb = jhtsat.htsat_embedding(wave, params, FE, CFG)["embedding"]
+    full = jhtsat.projection(full_emb, params["projection"])  # (B, 1025, D)
+    compact = jhtsat.encode_audio_compact(wave, params, FE, CFG)  # (B, 33, D)
+    expanded = jnp.concatenate(
+        [compact[:, :1], jnp.repeat(compact[:, 1:], 32, axis=1)], axis=1
+    )
+    # Row-exact up to matmul tiling: XLA blocks the (1024, 527) and
+    # (32, 527) c2l matmuls differently, so identical rows differ by
+    # accumulate-order ulps (measured max 2.5e-6 on O(1) post-LayerNorm
+    # values) — a repeat/alignment bug would be O(1), orders above this.
+    np.testing.assert_allclose(
+        np.asarray(expanded), np.asarray(full), atol=1e-5, rtol=0
+    )
+    # encode_audio's eval route IS the expansion (bitwise).
+    np.testing.assert_array_equal(
+        np.asarray(jhtsat.encode_audio(wave, params, FE, CFG)),
+        np.asarray(expanded),
+    )
+    # Pooled prefix tokens: repeat factor 4 vs mean-of-8-identical-rows
+    # (same ulp bound; the mean of 8 equal values is exact).
+    np.testing.assert_allclose(
+        np.asarray(jhtsat.downsample_tokens(full)),
+        np.asarray(jhtsat.downsample_tokens_compact(compact)),
+        atol=1e-5, rtol=0,
+    )
+
+
 def test_downsample_matches_torch_avgpool(pair):
     import torch.nn.functional as F
 

@@ -21,9 +21,13 @@ from mellow_tpu.models import generate as gen
 from mellow_tpu.models import llama
 from mellow_tpu.ops.pallas_decode_attention import (
     HEAD_PAD,
+    build_q_tiled,
+    extract_o_tiled,
     flash_gqa_decode,
+    flash_gqa_decode_tiled,
     lane_pad,
     reference_packed_decode,
+    tiled_supported,
     vmem_bytes,
 )
 
@@ -35,6 +39,19 @@ SMALL = LlamaConfig(
     num_heads=4,
     num_kv_heads=2,
     head_dim=16,
+    rope_theta=100000.0,
+)
+
+# v0 GQA geometry (9 q heads / 3 KV heads / hd=64) at a small hidden size:
+# exercises the group-TILED int8 kernel (tiled_supported == True).
+SMALL_V0GEOM = LlamaConfig(
+    vocab_size=512,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=2,
+    num_heads=9,
+    num_kv_heads=3,
+    head_dim=64,
     rope_theta=100000.0,
 )
 
@@ -105,6 +122,111 @@ def test_kernel_matches_oracle_int8():
     # entries don't blow up the ratio.
     assert np.abs(ov - rv).mean() < 0.03 * scale
     assert np.abs(ov - rv).max() < 0.3 * scale
+
+
+def test_tiled_kernel_matches_full_width_int8():
+    """The group-tiled kernel computes the SAME math as the full-width
+    kernel (identical per-row q/w int8 quantization — each head row's 64
+    nonzero lanes set the same qmax), just with 2.4x fewer hardware MACs;
+    per-head outputs must match the full-width kernel's V-half blocks."""
+    assert tiled_supported(9, 3, 64)
+    assert not tiled_supported(4, 2, 16)
+    B, L, S8, KV, hd, n_extra = 8, 2, 40, 3, 64, 3
+    rep = 3
+    H = KV * rep
+    KL = KV * hd
+    P2 = 2 * KL
+    SP = lane_pad(S8)
+    r = np.random.RandomState(11)
+    qg = jnp.asarray(r.randn(B, KV, rep, hd) * 0.3, jnp.bfloat16)
+    ex = np.zeros((B, 8, P2), np.float32)
+    ex[:, :n_extra] = r.randn(B, n_extra, P2) * 0.3
+    exb = jnp.asarray(ex, jnp.bfloat16)
+    kv = jnp.asarray(r.randint(-127, 128, (L, B, S8, P2)), jnp.int8)
+    sc = np.zeros((L, B, 2 * SP), np.float32)
+    sc[:, :, :S8] = r.rand(L, B, S8) * 0.01 + 0.001
+    sc[:, :, SP: SP + S8] = r.rand(L, B, S8) * 0.01 + 0.001
+    scj = jnp.asarray(sc)
+    flushed = 33
+
+    # Full-width layout for the same queries.
+    eye = jnp.eye(KV, dtype=qg.dtype)
+    q_dense = jnp.einsum("bgrd,gk->bgrkd", qg, eye).reshape(B, H, KL)
+    q_dense = jnp.pad(q_dense, ((0, 0), (0, HEAD_PAD - H), (0, KL)))
+    o_full = flash_gqa_decode(
+        q_dense, kv, scj, exb, jnp.int32(1), jnp.int32(flushed),
+        jnp.int32(n_extra), head_dim=hd, interpret=True,
+    )
+    o_full = np.asarray(o_full, np.float32)
+    o_full_heads = np.stack(
+        [o_full[:, g * rep + rr, KL + g * hd: KL + (g + 1) * hd]
+         for g in range(KV) for rr in range(rep)], axis=1,
+    ).reshape(B, 1, H * hd)
+
+    out = flash_gqa_decode_tiled(
+        build_q_tiled(qg), kv, scj, exb, jnp.int32(1), jnp.int32(flushed),
+        jnp.int32(n_extra), head_dim=hd, interpret=True,
+    )
+    o_tiled = np.asarray(extract_o_tiled(out, jnp.float32))
+    scale = np.abs(o_full_heads).mean()
+    assert np.abs(o_tiled - o_full_heads).max() < 1e-2 * scale, (
+        np.abs(o_tiled - o_full_heads).max(), scale)
+
+
+def test_decode_step_packed_tiled_int8_vs_einsum():
+    """decode_step_packed dispatches to the tiled kernel for int8 caches
+    at the v0 geometry; hidden states must match the einsum int8 path up
+    to the kernel's documented in-kernel q/w requantization (~0.4%/layer
+    relative each)."""
+    cfg = SMALL_V0GEOM
+    r = np.random.RandomState(12)
+    params = llama.init_params(jax.random.PRNGKey(4), cfg, jnp.float32)
+    B, P, W = 2, 7, 3
+    S_max = P + W
+    prefix = jnp.asarray(r.randn(B, P, cfg.hidden_size) * 0.1, jnp.float32)
+
+    cache_e = llama.KVCache.create(cfg, B, S_max, jnp.int8)
+    x_e, cache_e = llama.prefill(params, cfg, prefix, cache_e)
+    cache_p = llama.PackedKVCache.create(cfg, B, S_max, jnp.int8)
+    x_p, cache_p = llama.prefill(params, cfg, prefix, cache_p)
+    np.testing.assert_allclose(
+        np.asarray(x_p), np.asarray(x_e), rtol=2e-5, atol=2e-5)
+
+    cos_np, sin_np = llama.rope_tables(cfg, cache_p.kv.shape[2], jnp.float32)
+    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    P2 = llama.PackedKVCache.packed_dim(cfg)
+    extras = jnp.zeros((cfg.num_layers, B, W, P2), jnp.float32)
+    pending = ()
+    for i in range(W):
+        tok = jnp.asarray(r.randn(B, cfg.hidden_size) * 0.1, jnp.float32)
+        h_e, _, pending = llama.decode_step(
+            params, cfg, tok, cache_e, cos, sin, pending)
+        h_p, extras = llama.decode_step_packed(
+            params, cfg, tok, cache_p, cos, sin, extras, i, interpret=True)
+        he, hp = np.asarray(h_e), np.asarray(h_p)
+        rel = np.abs(hp - he).mean() / (np.abs(he).mean() + 1e-9)
+        assert rel < 0.05, (i, rel)
+
+
+def test_generate_fused_decode_int8_tiled(monkeypatch):
+    """End-to-end generate with an int8 cache takes the tiled-kernel
+    packed path (v0 geometry); greedy tokens must agree with the einsum
+    int8 path on nearly every step (the only divergence source is the
+    kernel's extra in-kernel q/w rounding)."""
+    monkeypatch.setenv("MELLOW_TPU_FORCE_FUSED_DECODE", "interpret")
+    cfg = SMALL_V0GEOM
+    r = np.random.RandomState(13)
+    params = llama.init_params(jax.random.PRNGKey(5), cfg, jnp.float32)
+    B, P, max_len = 2, 6, 16
+    prefix = jnp.asarray(r.randn(B, P, cfg.hidden_size) * 0.2, jnp.float32)
+    kw = dict(max_len=max_len, stop_token_id=-1, greedy=True,
+              cache_dtype="int8")
+    out_p = gen.generate(params, cfg, prefix, fused_decode=True, **kw)
+    out_e = gen.generate(params, cfg, prefix, fused_decode=False, **kw)
+    agree = float(
+        (np.asarray(out_p.tokens) == np.asarray(out_e.tokens)).mean()
+    )
+    assert agree >= 0.9, agree
 
 
 def test_kernel_ignores_masked_cache_and_extras():
