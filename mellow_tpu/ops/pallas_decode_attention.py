@@ -469,40 +469,38 @@ def _kernel_tiled(s_ref, q_ref, kv_ref, ex_ref, sc_ref, o_ref, kv_s, sc_s,
             w = e * vs_row.astype(jnp.float32)  # (16, S8)
             wmax = jnp.maximum(jnp.max(w, axis=1, keepdims=True), 1e-30)
             w8 = (w * (127.0 / wmax)).astype(jnp.int8)
-            wA8, wB8 = w8[0:8], w8[8:16]
             # Rows 0-2 (g0) need V0 = lanes [64,128) of t1; rows 3-5 (g1)
             # need V1 = lanes [0,64) of t2; rows 8-10 (g2) need V2 =
-            # lanes [64,128) of t2. Off-block output lanes are garbage
-            # weight sums (discarded by extract_o_tiled), same contract
-            # as the full-width kernel's K-half columns.
+            # lanes [64,128) of t2. Two dots: rows 0-7 against t1 (g0's
+            # V0) and ALL 16 rows against t2 (g1's V1 + g2's V2 land in
+            # each row's own lane block). Off-block output lanes are
+            # garbage weight sums (discarded by extract_o_tiled), same
+            # contract as the full-width kernel's K-half columns. A
+            # 3-dot (M=8 each) version was the first cut; merging the
+            # t2 pair into one M=16 dot trades no MACs and drops one
+            # fixed dot-pipeline fill per row.
             oA = jax.lax.dot_general(
-                wA8, t1, (((1,), (0,)), ((), ())),
+                w8[0:8], t1, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)  # (8, 128)
-            oB = jax.lax.dot_general(
-                wA8, t2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            oC = jax.lax.dot_general(
-                wB8, t2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            wmA = wmax[0:8] / 127.0
-            wmB = wmax[8:16] / 127.0
-            o_top = jnp.concatenate([oA, oB], axis=1).astype(jnp.float32) * wmA
-            o_bot = jnp.concatenate([oC, oC], axis=1).astype(jnp.float32) * wmB
-            # Extras value contributions (bf16).
-            eA16 = e_e[0:8].astype(ex.dtype)
-            eB16 = e_e[8:16].astype(ex.dtype)
+            oBC = jax.lax.dot_general(
+                w8, t2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)  # (16, 128)
+            # Extras value contributions (bf16), same split.
+            e16 = e_e.astype(ex.dtype)
             oeA = jax.lax.dot_general(
-                eA16, ex[:, 128:256], (((1,), (0,)), ((), ())),
+                e16[0:8], ex[:, 128:256], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            oeB = jax.lax.dot_general(
-                eA16, ex[:, 256:384], (((1,), (0,)), ((), ())),
+            oeBC = jax.lax.dot_general(
+                e16, ex[:, 256:384], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            oeC = jax.lax.dot_general(
-                eB16, ex[:, 256:384], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            o_top = o_top + jnp.concatenate([oeA, oeB], axis=1)
-            o_bot = o_bot + jnp.concatenate([oeC, oeC], axis=1)
-            o = jnp.concatenate([o_top, o_bot], axis=0) / denom
+            wm = wmax / 127.0
+            left = (
+                jnp.concatenate([oA, oBC[8:16]], axis=0).astype(jnp.float32)
+                * wm
+                + jnp.concatenate([oeA, oeBC[8:16]], axis=0)
+            )  # rows 0-7: g0 V0 lanes; rows 8-15: g2 V2 lanes
+            right = oBC.astype(jnp.float32) * wm + oeBC  # g1 V1 lanes
+            o = jnp.concatenate([left, right], axis=1) / denom  # (16, 256)
             o_ref[row] = o.astype(o_ref.dtype)
         return _
 
