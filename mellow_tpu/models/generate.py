@@ -33,6 +33,8 @@ from mellow_tpu.models.llama import KVCache
 class GenerateResult(NamedTuple):
     tokens: jax.Array  # (B, max_len) int32; valid up to num_steps
     num_steps: jax.Array  # scalar int32: steps actually executed
+    cache: object = None  # final KV-cache buffers, returned iff the call
+    # passed ``cache_buffers`` (donated) — recycle into the next call
 
 
 def seen_mask(tokens: jax.Array, valid: jax.Array, vocab_size: int) -> jax.Array:
@@ -309,16 +311,20 @@ def _fused_decode_auto(
     (llama.decode_step_packed): llama family, bf16 compute on TPU,
     bf16/int8 cache, kernel VMEM footprint within budget.
 
-    bf16 caches by the r3 measurement (the cache stream is
+    bf16 caches only, by the r3 measurement (the cache stream is
     bandwidth-bound and the packed layout's 25% byte cut wins — B=64:
-    26.2k -> 29.0k tok/s, +10%). int8 caches by the r5 measurement: the
-    r3 full-width kernel only TIED the einsum (compute-bound M=16 dots at
-    ~40% MXU), but the group-TILED kernel cut the attention dots 2.4x and
-    wins at every batch — 5.66 -> 5.01 ms/step at B=256, 9.98 -> 8.77 at
-    B=512, 2.43 -> 2.32 at B=64 (benchmarks/exp_decode_attn3.py). int8
-    requires the v0 GQA geometry (pallas_decode_attention.tiled_supported);
-    other geometries keep the einsum. Override per-call with
-    ``fused_decode=True``.
+    26.2k -> 29.0k tok/s, +10%). int8 caches KEEP THE EINSUM (measured
+    r5): the group-tiled kernel cut the attention dots 2.4x and won the
+    isolated chained-step harness at every batch (5.66 -> 5.01 ms/step
+    at B=256, exp_decode_attn3.py), but in the REAL windowed generate
+    loop it loses at every batch (B=64 -2.4%, B=128 -6.7%, B=256 -1.5%,
+    B=512 -0.6%): per-op profiles attribute it — the einsum path's
+    cache-read fusions already stream at the 706 GB/s roofline in the
+    real loop (48+47 us/layer at B=256) while the tiled kernel runs
+    compute-walled at ~106 us/layer (vs its 75 us DMA floor), and the
+    packed path adds ~0.35 ms/step of extras-buffer machinery. The
+    kernel remains available per-call with ``fused_decode=True``
+    (benchmarks/README.md, r5 decode section).
 
     Kill switches: MELLOW_TPU_DISABLE_FUSED_ATTN (global, advisor r2) and
     MELLOW_TPU_DISABLE_FUSED_DECODE (this path only); tests force it on
@@ -346,6 +352,8 @@ def _fused_decode_auto(
 
         if not tiled_supported(cfg.num_heads, cfg.num_kv_heads, cfg.head_dim):
             return False  # tiled kernel is v0-geometry-specialized
+        if not forced:
+            return False  # int8: einsum wins the real loop (docstring)
     from mellow_tpu.ops.pallas_decode_attention import vmem_bytes
 
     S8 = -(-S_total // 8) * 8
@@ -385,14 +393,71 @@ def _effective_window(flush_window, max_len: int, greedy: bool,
     return max(1, min(flush_window, max_len))
 
 
+def alloc_cache_buffers(
+    cfg, B: int, P: int, *, max_len: int, cache_dtype: str,
+    family: str = "llama", flush_window: Optional[int] = None,
+    greedy: bool = True, fused_decode: Optional[bool] = None,
+    dtype=jnp.bfloat16,
+):
+    """Allocate KV-cache buffers shaped exactly as ``generate`` would for
+    these call parameters (same W / fused-decode resolution), for use as
+    its ``cache_buffers`` argument. One-time zeros cost; every subsequent
+    generate call recycles ``result.cache`` and skips the in-program
+    whole-buffer zero pad. ``P`` is the prefix length."""
+    from mellow_tpu.models.decoders import get_decoder_ops
+
+    W = _effective_window(flush_window, max_len, greedy, B)
+    S = P + -(-max_len // W) * W
+    if fused_decode is None:
+        fused_decode = _fused_decode_auto(
+            cfg, family, jnp.dtype(dtype), cache_dtype, B, S, W
+        )
+    if fused_decode:
+        return llama.PackedKVCache.create(cfg, B, S, jnp.dtype(cache_dtype))
+    return get_decoder_ops(family).create_cache(
+        cfg, B, S, jnp.dtype(cache_dtype)
+    )
+
+
+def _reusable_cache(buffers, fused_decode, ref_cache) -> bool:
+    """Trace-time check: ``buffers`` (a prior call's final cache) has the
+    exact pytree structure, shapes and dtypes a fresh cache would — only
+    then can it replace the zeros-create (donation makes the prefill
+    commit an in-place row write instead of a whole-buffer zero pad)."""
+    if buffers is None:
+        return False
+    if fused_decode != isinstance(buffers, llama.PackedKVCache):
+        return False
+    try:
+        ok = jax.tree.all(
+            jax.tree.map(
+                lambda a, b: a.shape == b.shape and a.dtype == b.dtype,
+                buffers, ref_cache,
+            )
+        )
+    except ValueError:  # mismatched pytree structure
+        return False
+    return bool(ok)
+
+
 def _init_state(
     params, cfg, prefix_embeds, *, max_len, cache_dtype, family, W, rng,
     initial_done, repetition_penalty, prompt_tokens, prompt_mask,
-    prefill_chunk=None, w8a8=False, fused_decode=False,
+    prefill_chunk=None, w8a8=False, fused_decode=False, cache_buffers=None,
 ) -> DecodeState:
     """Prefill + initial decode state (cache.length == P: every prefix
     position is flushed; pending starts empty and is always empty again at
-    window boundaries, so the loop state has a static pytree structure)."""
+    window boundaries, so the loop state has a static pytree structure).
+
+    ``cache_buffers``: a previous call's final cache (donated by the
+    caller). When its shapes match, it replaces the zeros-create: XLA
+    aliases the donated input, the prefill commit updates rows in place,
+    and the whole-buffer zero pad (2.8 ms device at B=256 w8a8, profiled
+    in benchmarks/README.md) disappears. Stale positions are harmless:
+    every attention path masks by ``length``/``flushed`` before the
+    softmax, pad lanes are ignored by the block-diagonal queries, and the
+    values are finite (they were written by a previous run of this same
+    program). ``length`` is reset to zero."""
     from mellow_tpu.models.decoders import get_decoder_ops
 
     ops = get_decoder_ops(family)
@@ -402,6 +467,8 @@ def _init_state(
         cache = llama.PackedKVCache.create(cfg, B, P + ML, jnp.dtype(cache_dtype))
     else:
         cache = ops.create_cache(cfg, B, P + ML, jnp.dtype(cache_dtype))
+    if _reusable_cache(cache_buffers, fused_decode, cache):
+        cache = cache_buffers._replace(length=jnp.zeros((), jnp.int32))
     if family == "llama":
         hidden, cache = ops.prefill(
             params, cfg, prefix_embeds, cache, chunk=prefill_chunk, w8a8=w8a8
@@ -575,6 +642,7 @@ def _one_window(
         # handful of knob values — one compile each, like top_k.
         "top_p", "temperature",
     ),
+    donate_argnames=("cache_buffers",),
 )
 def generate(
     params,
@@ -601,6 +669,9 @@ def generate(
     fused_decode: Optional[bool] = None,  # packed-cache Pallas decode
     # (None = auto: llama + bf16-on-TPU + int8/bf16 cache; sharded runs
     # pass False — the custom call does not partition under a mesh)
+    cache_buffers=None,  # a prior same-shape call's ``result.cache``,
+    # DONATED: removes the prefill commit's whole-buffer zero pad (the
+    # result then carries the final cache to recycle into the next call)
 ) -> GenerateResult:
     """``flush_window`` (W): decode steps per KV-cache flush. The per-step
     cache scatter is RMW-tile bound — writing W rows costs the same as one
@@ -625,7 +696,7 @@ def generate(
         family=family, W=W, rng=rng, initial_done=initial_done,
         repetition_penalty=repetition_penalty, prompt_tokens=prompt_tokens,
         prompt_mask=prompt_mask, prefill_chunk=prefill_chunk, w8a8=w8a8,
-        fused_decode=fused_decode,
+        fused_decode=fused_decode, cache_buffers=cache_buffers,
     )
     final = _decode_loop(
         params, cfg, state, family=family, max_len=max_len,
@@ -636,6 +707,7 @@ def generate(
     return GenerateResult(
         tokens=final.tokens[:, :max_len],
         num_steps=jnp.minimum(final.t, max_len),
+        cache=final.cache if cache_buffers is not None else None,
     )
 
 
