@@ -79,13 +79,15 @@ class KVCache(NamedTuple):
         dtype = jnp.dtype(dtype)
         shape = (cfg.num_layers, batch, max_len, KVCache.packed_dim(cfg))
         if dtype == jnp.int8:
-            sc = jnp.zeros(shape[:3], jnp.float32)
+            # Distinct arrays (not one shared zeros): concrete caches are
+            # DONATED to generate(), and aliased leaves trip XLA's
+            # donate-the-same-buffer-twice check.
             return KVCache(
                 k=jnp.zeros(shape, jnp.int8),
                 v=jnp.zeros(shape, jnp.int8),
                 length=jnp.zeros((), jnp.int32),
-                k_scale=sc,
-                v_scale=sc,
+                k_scale=jnp.zeros(shape[:3], jnp.float32),
+                v_scale=jnp.zeros(shape[:3], jnp.float32),
             )
         return KVCache(
             k=jnp.zeros(shape, dtype),
