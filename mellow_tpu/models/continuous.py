@@ -32,10 +32,24 @@ TPU-first design — ragged rows WITHOUT ragged writes:
     are bucketed so compile count stays bounded.
 
 Capacity: the cache is a fixed [0, P + horizon) window. A request needing
-``max_new`` tokens is admissible while ``t + max_new <= horizon``; when
-the window is exhausted and all live rows have finished, the scheduler
-resets (t back to 0) and keeps admitting — a reset costs one fresh
-prefill, the same price the batch-at-a-time engine pays for EVERY batch.
+``max_new`` tokens is admissible while ``t + max_new <= horizon``. When
+admission stalls, the scheduler ROLLS the window (r5, VERDICT r4 item 5):
+every live row's columns shift left by ``delta`` = the oldest live row's
+start column (one whole-cache ``jnp.roll`` — about one decode step's
+cache read, paid only at stalls), reclaiming every column before the
+oldest live row. One long-running row therefore no longer starves queued
+admissions — capacity degrades to the old all-done reset only when that
+row was admitted at the very start of the window and is still live at
+its end. The reset (t back to 0, one fresh window) remains as the cheap
+path when NO rows are live.
+
+Packed/fused-decode support: deliberately einsum-only, twice justified —
+(a) the fused kernel's manual DMA has no per-row start mask (module
+design note above), and (b) the r5 real-loop A/B measured the einsum
+path FASTER than the packed kernel for int8 caches at every batch size
+anyway (benchmarks/README.md r5 decode section), and int8 is the serving
+perf mode. bf16-cache continuous serving would leave the kernel's +10%
+on the table; measured, recorded, accepted.
 """
 
 from __future__ import annotations
@@ -64,6 +78,11 @@ class ContinuousState(NamedTuple):
     deadline: jax.Array  # (B,) int32: row is done once t reaches this
     done: jax.Array  # (B,) bool
     rng: jax.Array
+    # Per-request sampling knobs (r5): read only when the scheduler was
+    # built with per_request=True; neutral values otherwise.
+    temp: jax.Array = None  # (B,) f32 temperature
+    topp: jax.Array = None  # (B,) f32 nucleus top_p
+    gmask: jax.Array = None  # (B,) bool: row decodes greedily
 
 
 def empty_state(
@@ -89,6 +108,9 @@ def empty_state(
         deadline=jnp.zeros((slots,), jnp.int32),
         done=jnp.ones((slots,), bool),
         rng=jax.random.PRNGKey(0) if rng is None else rng,
+        temp=jnp.ones((slots,), jnp.float32),
+        topp=jnp.ones((slots,), jnp.float32),
+        gmask=jnp.ones((slots,), bool),
     )
 
 
@@ -102,6 +124,8 @@ def admit(
     prefix_embeds: jax.Array,  # (J, P, D)
     max_new: jax.Array,  # (J,) int32 per-request token budgets
     prefill_chunk: Optional[int] = None,
+    knobs: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+    # (temp, topp, gmask), each (J,) — per-request sampling (r5)
 ) -> Tuple[ContinuousState, jax.Array]:
     """Prefill ``prefix_embeds`` at LOCAL positions [0, P) and splice the
     resulting kv blocks into the admitted slots at global columns
@@ -135,25 +159,61 @@ def admit(
     if state.cache.quantized:
         upd["k_scale"] = splice(state.cache.k_scale, small.k_scale)
         upd["v_scale"] = splice(state.cache.v_scale, small.v_scale)
-    return ContinuousState(
+    new = state._replace(
         cache=state.cache._replace(**upd),
-        tokens=state.tokens,
         last_hidden=state.last_hidden.at[slot_idx].set(
             x_last.astype(state.last_hidden.dtype)
         ),
-        t=state.t,
         start=state.start.at[slot_idx].set(col),
         deadline=state.deadline.at[slot_idx].set(state.t + max_new),
         done=state.done.at[slot_idx].set(False),
-        rng=state.rng,
-    ), state.t
+    )
+    if knobs is not None:
+        temp, topp, gmask = knobs
+        new = new._replace(
+            temp=state.temp.at[slot_idx].set(temp),
+            topp=state.topp.at[slot_idx].set(topp),
+            gmask=state.gmask.at[slot_idx].set(gmask),
+        )
+    return new, state.t
+
+
+@jax.jit
+def roll_window(state: ContinuousState, delta: jax.Array) -> ContinuousState:
+    """Reclaim the cache columns before the oldest live row (r5): shift
+    every per-column buffer LEFT by ``delta`` (the oldest live row's start
+    column, floored to a W multiple by the caller so ``t`` stays
+    stage-aligned). ``jnp.roll`` wraps the reclaimed columns to the END of
+    the buffer as garbage — columns >= the new write frontier, which every
+    read masks by length/start before the softmax (finite values: they
+    were written by this same program). Cost: one whole-cache read+write,
+    about one decode step's cache stream, paid only at admission stalls.
+    Done rows' start pins to the new frontier (attend-nothing, the
+    empty_state convention); their deadlines may go negative, which keeps
+    them done."""
+    cache = state.cache
+    upd = {"k": jnp.roll(cache.k, -delta, axis=2),
+           "v": jnp.roll(cache.v, -delta, axis=2)}
+    if cache.quantized:
+        upd["k_scale"] = jnp.roll(cache.k_scale, -delta, axis=2)
+        upd["v_scale"] = jnp.roll(cache.v_scale, -delta, axis=2)
+    new_len = cache.length - delta
+    return state._replace(
+        cache=cache._replace(**upd, length=new_len),
+        tokens=jnp.roll(state.tokens, -delta, axis=1),
+        t=state.t - delta,
+        start=jnp.where(
+            state.done, new_len, jnp.maximum(state.start - delta, 0)
+        ),
+        deadline=state.deadline - delta,
+    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "horizon", "stop_token_id", "greedy", "top_p", "temperature",
-        "top_k", "W",
+        "top_k", "W", "per_request",
     ),
 )
 def decode_stage(
@@ -170,6 +230,7 @@ def decode_stage(
     temperature: float = 1.0,
     top_k: int = 0,
     W: int = 8,
+    per_request: bool = False,
 ) -> ContinuousState:
     """The windowed decode while_loop over ragged slots: identical to
     ``generate``'s loop except (a) ``llama.decode_step`` runs with the
@@ -177,7 +238,16 @@ def decode_stage(
     per-row ``deadline``, and (c) the exit threshold is a traced done
     COUNT so the host can ask for "one more free slot" without a
     recompile. Repetition penalty is not supported here (slot token
-    history crosses requests); the scheduler rejects it."""
+    history crosses requests); the scheduler rejects it.
+
+    ``per_request=True`` (r5): sampling knobs come from the state's
+    (B,) ``temp``/``topp``/``gmask`` vectors instead of the static
+    scalars — per-row temperature divides the logits, per-row top_p
+    feeds the rejection sampler's acceptance test (static draw count =
+    the _REJECT_MIN_TOP_P schedule, the worst supported knob), and
+    greedy rows select their argmax. top_k is engine-wide either way
+    (its kept-set rule needs the k-wide sort; per-row k would pay the
+    widest row's sort for everyone — not worth it)."""
     dtype = state.last_hidden.dtype
     S_max = state.cache.k.shape[2]
     cos_np, sin_np = llama.rope_tables(cfg, S_max, dtype)
@@ -192,10 +262,23 @@ def decode_stage(
         for i in range(W):
             logits = llama.logits_from_hidden(params, cfg, hidden)
             step_rng, rng = jax.random.split(rng)
-            next_tok = gen._sample_token(
-                logits, greedy=greedy, top_p=top_p, temperature=temperature,
-                rng=step_rng, top_k=top_k,
-            )
+            if per_request:
+                lo = logits.astype(jnp.float32) / jnp.maximum(
+                    s.temp[:, None], 1e-6
+                )
+                tok_s = gen._reject_sample(
+                    lo, s.topp, step_rng,
+                    draws=gen._reject_draws(gen._REJECT_MIN_TOP_P),
+                )
+                next_tok = jnp.where(
+                    s.gmask, jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                    tok_s,
+                )
+            else:
+                next_tok = gen._sample_token(
+                    logits, greedy=greedy, top_p=top_p,
+                    temperature=temperature, rng=step_rng, top_k=top_k,
+                )
             tokens = jax.lax.dynamic_update_slice(
                 tokens, next_tok[:, None], (0, s.t + i)
             )
@@ -209,8 +292,9 @@ def decode_stage(
                 start=s.start,
             )
         cache = llama.flush_pending(cfg, cache, pending)
-        return ContinuousState(
-            cache, tokens, hidden, s.t + W, s.start, s.deadline, done, rng
+        return s._replace(
+            cache=cache, tokens=tokens, last_hidden=hidden, t=s.t + W,
+            done=done, rng=rng,
         )
 
     def cond(s: ContinuousState):
@@ -224,6 +308,7 @@ def decode_stage(
 class _Slot(NamedTuple):
     rid: int  # request id
     admit_step: int  # global decode-step column where its tokens begin
+    # (shifts left with the window on roll_window)
     max_new: int
 
 
@@ -256,6 +341,7 @@ class ContinuousScheduler:
         W: int = 8,
         rng: Optional[jax.Array] = None,
         prefill_chunk: Optional[int] = None,
+        per_request: bool = False,  # per-request temperature/top_p/greedy
     ):
         if horizon % W:
             raise ValueError(f"horizon {horizon} must be a multiple of W={W}")
@@ -266,29 +352,58 @@ class ContinuousScheduler:
         self.greedy, self.top_p = greedy, float(top_p)
         self.temperature, self.top_k, self.W = float(temperature), top_k, W
         self.prefill_chunk = prefill_chunk
+        self.per_request = per_request
+        if per_request and top_k:
+            raise ValueError("per_request mode has no per-row top_k "
+                             "(decode_stage docstring); set top_k=0")
         self._rng = rng
         self.state = empty_state(
             cfg, slots, prefix_len, horizon, cache_dtype=cache_dtype,
             dtype=dtype, rng=rng,
         )
         self._slot: List[Optional[_Slot]] = [None] * slots
-        self._queue: List[Tuple[int, np.ndarray, int]] = []  # (rid, prefix, max_new)
+        # queue items: (rid, prefix, max_new, (temp, topp, greedy))
+        self._queue: List[Tuple[int, np.ndarray, int, Tuple[float, float, bool]]] = []
         self._next_rid = 0
         self._t = 0  # host mirror of state.t
         self.resets = 0  # capacity resets (observability)
+        self.rolls = 0  # window rolls (observability)
 
     # -- request intake ------------------------------------------------
 
-    def submit(self, prefix_embeds, max_new: int) -> int:
+    def submit(
+        self, prefix_embeds, max_new: int, *,
+        temperature: Optional[float] = None, top_p: Optional[float] = None,
+        greedy: Optional[bool] = None,
+    ) -> int:
         """Queue one request; returns its request id. ``prefix_embeds``:
-        (P, D) one row."""
+        (P, D) one row. The keyword knobs override the engine defaults for
+        THIS request (requires per_request=True); top_p must stay >=
+        generate._REJECT_MIN_TOP_P — the rejection sampler's static draw
+        budget covers exactly that range (smaller values need the sort
+        path, which a mixed batch would pay for every row)."""
         if max_new > self.horizon:
             raise ValueError(
                 f"max_new {max_new} exceeds horizon {self.horizon}"
             )
+        has_knobs = any(v is not None for v in (temperature, top_p, greedy))
+        if has_knobs and not self.per_request:
+            raise ValueError(
+                "per-request sampling knobs need per_request=True"
+            )
+        g = self.greedy if greedy is None else bool(greedy)
+        tp = self.top_p if top_p is None else float(top_p)
+        tm = self.temperature if temperature is None else float(temperature)
+        if self.per_request and not g and tp < gen._REJECT_MIN_TOP_P:
+            raise ValueError(
+                f"per-request top_p {tp} below the supported "
+                f"{gen._REJECT_MIN_TOP_P} (submit docstring)"
+            )
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append((rid, np.asarray(prefix_embeds), int(max_new)))
+        self._queue.append(
+            (rid, np.asarray(prefix_embeds), int(max_new), (tm, tp, g))
+        )
         return rid
 
     # -- internals -------------------------------------------------------
@@ -301,8 +416,8 @@ class ContinuousScheduler:
         slots, bucketing the count to a power of two (duplicate-padding
         with request 0's row so the scatter writes identical values —
         bounded compiles)."""
-        take: List[Tuple[int, np.ndarray, int]] = []
-        rest: List[Tuple[int, np.ndarray, int]] = []
+        take: List[Tuple[int, np.ndarray, int, Tuple[float, float, bool]]] = []
+        rest: List[Tuple[int, np.ndarray, int, Tuple[float, float, bool]]] = []
         for item in self._queue:
             if len(take) < len(free) and self._admissible(item[2]):
                 take.append(item)
@@ -312,22 +427,27 @@ class ContinuousScheduler:
             return
         self._queue = rest
         J = 1 << int(np.ceil(np.log2(len(take))))
+        pad = [take[i if i < len(take) else 0] for i in range(J)]
         idx = [free[i if i < len(take) else 0] for i in range(J)]
-        prefixes = np.stack(
-            [take[i if i < len(take) else 0][1] for i in range(J)]
-        )
-        budgets = np.asarray(
-            [take[i if i < len(take) else 0][2] for i in range(J)], np.int32
-        )
+        prefixes = np.stack([p[1] for p in pad])
+        budgets = np.asarray([p[2] for p in pad], np.int32)
+        knobs = None
+        if self.per_request:
+            knobs = (
+                jnp.asarray([p[3][0] for p in pad], jnp.float32),
+                jnp.asarray([p[3][1] for p in pad], jnp.float32),
+                jnp.asarray([p[3][2] for p in pad], bool),
+            )
         self.state, admit_t = admit(
             self.params, self.cfg, self.state,
             jnp.asarray(idx, jnp.int32),
             jnp.asarray(prefixes, self.dtype),
             jnp.asarray(budgets),
             prefill_chunk=self.prefill_chunk,
+            knobs=knobs,
         )
         t0 = int(admit_t)
-        for n, (rid, _, max_new) in enumerate(take):
+        for n, (rid, _, max_new, _k) in enumerate(take):
             self._slot[free[n]] = _Slot(rid, t0, max_new)
 
     def _collect(self, done_host, tokens_host, t_now: int):
@@ -357,15 +477,36 @@ class ContinuousScheduler:
 
     # -- the drive loop --------------------------------------------------
 
+    def _roll(self) -> bool:
+        """Admission stalled on capacity with rows still live: reclaim
+        the columns before the oldest live row by shifting the window
+        left (roll_window). Returns True if any capacity was reclaimed."""
+        live = [s for s in self._slot if s is not None]
+        if not live:
+            return False
+        delta = (min(s.admit_step for s in live) // self.W) * self.W
+        if delta <= 0:
+            return False
+        self.state = roll_window(self.state, jnp.asarray(delta, jnp.int32))
+        self._t -= delta
+        self._slot = [
+            None if s is None else s._replace(admit_step=s.admit_step - delta)
+            for s in self._slot
+        ]
+        self.rolls += 1
+        return True
+
     def step(self) -> List[Tuple[int, List[int]]]:
         """Admit what fits, run one stage, return finished
         (rid, token_list) pairs. Call until ``idle``."""
         done_host = np.asarray(jax.device_get(self.state.done))
         active = any(s is not None for s in self._slot)
-        if self._queue and not any(self._admissible(q[2]) for q in self._queue) \
-                and not active:
-            self._reset()
-            done_host = np.ones((self.slots,), bool)
+        if self._queue and not any(self._admissible(q[2]) for q in self._queue):
+            if active:
+                self._roll()  # rolling window: reclaim drained columns
+            else:
+                self._reset()
+                done_host = np.ones((self.slots,), bool)
         free = [
             i for i in range(self.slots)
             if bool(done_host[i]) and self._slot[i] is None
@@ -384,6 +525,7 @@ class ContinuousScheduler:
             horizon=self.horizon, stop_token_id=self.stop_token_id,
             greedy=self.greedy, top_p=self.top_p,
             temperature=self.temperature, top_k=self.top_k, W=self.W,
+            per_request=self.per_request,
         )
         done_host, tokens_host, t_dev = jax.device_get(
             (self.state.done, self.state.tokens, self.state.t)

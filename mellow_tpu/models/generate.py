@@ -123,7 +123,9 @@ def _reject_draws(top_p: float) -> int:
     return min(_REJECT_MAX_DRAWS, max(8, -(-r // 8) * 8))
 
 
-def _reject_sample(logits: jax.Array, top_p: float, rng: jax.Array) -> jax.Array:
+def _reject_sample(
+    logits: jax.Array, top_p, rng: jax.Array, *, draws: Optional[int] = None
+) -> jax.Array:
     """Exact nucleus sampling with NO sort, for ANY logit distribution.
 
     warp_logits' kept set is value-thresholded: token t is kept iff
@@ -144,9 +146,13 @@ def _reject_sample(logits: jax.Array, top_p: float, rng: jax.Array) -> jax.Array
     (_fast_sample) — there the required R exceeds _REJECT_MAX_DRAWS.
     Cost is O(B*V) elementwise + an O(B*V*R) acceptance reduce — measured
     ~0.18 ms at (64, 49152) R=8 vs ~3.4 ms for the r3 full-vocab sort
-    (which made sampled decode 5x slower than greedy)."""
+    (which made sampled decode 5x slower than greedy).
+
+    ``top_p`` may also be a traced (B,) vector (continuous batching's
+    per-request knob); then ``draws`` must supply the static R (use the
+    schedule for the smallest supported top_p)."""
     B, V = logits.shape
-    R = _reject_draws(top_p)
+    R = _reject_draws(top_p) if draws is None else draws
     lf = logits.astype(jnp.float32)
     probs = jax.nn.softmax(lf, axis=-1)
     cdf = jnp.cumsum(probs, axis=-1)  # (B, V) nondecreasing
@@ -159,7 +165,8 @@ def _reject_sample(logits: jax.Array, top_p: float, rng: jax.Array) -> jax.Array
         jnp.where(lf[:, :, None] > cl[:, None, :], probs[:, :, None], 0.0),
         axis=1,
     )  # (B, R)
-    acc = E < top_p
+    tpv = jnp.asarray(top_p, jnp.float32)
+    acc = E < (tpv if tpv.ndim == 0 else tpv[:, None])
     first = jnp.argmax(acc, axis=1)  # first accepted draw (0 if none)
     tok = jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0]
     return jnp.where(
@@ -393,17 +400,33 @@ def _effective_window(flush_window, max_len: int, greedy: bool,
     return max(1, min(flush_window, max_len))
 
 
+def _flatten_cache(cache):
+    """Cache pytree -> same pytree with every leaf reshaped to 1-D. The
+    donation boundary uses FLAT leaves deliberately: a 1-D array has
+    exactly one layout, so the donated parameter and the aliased output
+    cannot disagree with the program's internal (default) layout. With
+    4-D leaves, XLA's layout assignment picked {3,1,2,0} for the
+    donated parameter/output pair and then inserted whole-cache relayout
+    copies PLUS out-of-place commit DUS (~2 x 30 ms at B=256, profiled) —
+    slower than the zero pad the donation was meant to remove. The
+    in-program reshape from 1-D back to the default-layout 4-D view is a
+    bitcast."""
+    return jax.tree.map(lambda a: a.reshape(-1), cache)
+
+
 def alloc_cache_buffers(
     cfg, B: int, P: int, *, max_len: int, cache_dtype: str,
     family: str = "llama", flush_window: Optional[int] = None,
     greedy: bool = True, fused_decode: Optional[bool] = None,
     dtype=jnp.bfloat16,
 ):
-    """Allocate KV-cache buffers shaped exactly as ``generate`` would for
+    """Allocate KV-cache buffers sized exactly as ``generate`` would for
     these call parameters (same W / fused-decode resolution), for use as
     its ``cache_buffers`` argument. One-time zeros cost; every subsequent
     generate call recycles ``result.cache`` and skips the in-program
-    whole-buffer zero pad. ``P`` is the prefix length."""
+    whole-buffer zero pad. ``P`` is the prefix length. The returned
+    pytree's leaves are FLAT 1-D buffers (see _flatten_cache) — opaque to
+    callers, meaningful only as ``cache_buffers``."""
     from mellow_tpu.models.decoders import get_decoder_ops
 
     W = _effective_window(flush_window, max_len, greedy, B)
@@ -413,31 +436,39 @@ def alloc_cache_buffers(
             cfg, family, jnp.dtype(dtype), cache_dtype, B, S, W
         )
     if fused_decode:
-        return llama.PackedKVCache.create(cfg, B, S, jnp.dtype(cache_dtype))
-    return get_decoder_ops(family).create_cache(
-        cfg, B, S, jnp.dtype(cache_dtype)
-    )
+        cache = llama.PackedKVCache.create(cfg, B, S, jnp.dtype(cache_dtype))
+    else:
+        cache = get_decoder_ops(family).create_cache(
+            cfg, B, S, jnp.dtype(cache_dtype)
+        )
+    return _flatten_cache(cache)
 
 
-def _reusable_cache(buffers, fused_decode, ref_cache) -> bool:
-    """Trace-time check: ``buffers`` (a prior call's final cache) has the
-    exact pytree structure, shapes and dtypes a fresh cache would — only
-    then can it replace the zeros-create (donation makes the prefill
-    commit an in-place row write instead of a whole-buffer zero pad)."""
+def _reusable_cache(buffers, fused_decode, ref_cache):
+    """Trace-time check + reconstruction: ``buffers`` (a prior call's
+    final cache, flat leaves) matches the pytree structure, sizes and
+    dtypes a fresh cache would have — then return it reshaped to the
+    cache's shapes (bitcast views of the donated parameters, which makes
+    the prefill commit an in-place row write instead of a whole-buffer
+    zero pad). Returns None on any mismatch (caller keeps the fresh
+    zeros cache)."""
     if buffers is None:
-        return False
+        return None
     if fused_decode != isinstance(buffers, llama.PackedKVCache):
-        return False
+        return None
     try:
         ok = jax.tree.all(
             jax.tree.map(
-                lambda a, b: a.shape == b.shape and a.dtype == b.dtype,
+                lambda a, b: a.size == b.size and a.dtype == b.dtype
+                and a.ndim == 1,
                 buffers, ref_cache,
             )
         )
     except ValueError:  # mismatched pytree structure
-        return False
-    return bool(ok)
+        return None
+    if not ok:
+        return None
+    return jax.tree.map(lambda a, b: a.reshape(b.shape), buffers, ref_cache)
 
 
 def _init_state(
@@ -467,8 +498,9 @@ def _init_state(
         cache = llama.PackedKVCache.create(cfg, B, P + ML, jnp.dtype(cache_dtype))
     else:
         cache = ops.create_cache(cfg, B, P + ML, jnp.dtype(cache_dtype))
-    if _reusable_cache(cache_buffers, fused_decode, cache):
-        cache = cache_buffers._replace(length=jnp.zeros((), jnp.int32))
+    reused = _reusable_cache(cache_buffers, fused_decode, cache)
+    if reused is not None:
+        cache = reused._replace(length=jnp.zeros((), jnp.int32))
     if family == "llama":
         hidden, cache = ops.prefill(
             params, cfg, prefix_embeds, cache, chunk=prefill_chunk, w8a8=w8a8
@@ -707,7 +739,10 @@ def generate(
     return GenerateResult(
         tokens=final.tokens[:, :max_len],
         num_steps=jnp.minimum(final.t, max_len),
-        cache=final.cache if cache_buffers is not None else None,
+        # Flat leaves: one possible layout, so the aliased output and the
+        # next call's donated parameter agree (see _flatten_cache).
+        cache=_flatten_cache(final.cache) if cache_buffers is not None
+        else None,
     )
 
 

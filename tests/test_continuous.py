@@ -103,6 +103,91 @@ def test_submit_over_horizon_rejected(params):
         sched.submit(_prefixes(1)[0], 17)
 
 
+def test_rolling_window_no_starvation(params):
+    """VERDICT r4 item 5: one long-running row must not starve queued
+    admissions. Two shorts drain first, then a LONG row admitted at
+    start>0 is still live when a queued short stalls on capacity — the
+    scheduler must ROLL the window (reclaiming the drained columns before
+    the long row) and keep admitting: zero resets, >=1 roll, and every
+    request (including the rolled-mid-life long row) matches its solo
+    run token-for-token."""
+    prefixes = _prefixes(5, seed=5)
+    sched = cb.ContinuousScheduler(
+        params, CFG, slots=2, prefix_len=P, horizon=16,
+        stop_token_id=-1, W=4,
+    )
+    # [short, short] at t=0; long(12) admitted at t=4 (start 4); short(8)
+    # beside it; the LAST short stalls at t=12 (12+8 > 16) while the long
+    # row is live -> roll by 4 -> admissible again.
+    budgets = [4, 4, 12, 8, 8]
+    rids = [sched.submit(prefixes[i], budgets[i]) for i in range(5)]
+    results = sched.run_to_completion()
+    assert sched.rolls >= 1, "window never rolled"
+    assert sched.resets == 0, "roll should have made the reset unnecessary"
+    for i, rid in enumerate(rids):
+        assert results[rid] == _solo(params, prefixes[i], budgets[i], -1), i
+
+
+def test_roll_window_state_invariants(params):
+    """roll_window is a pure left-shift of the window: cache columns,
+    token columns, t, length, start and deadline all shift together."""
+    prefixes = _prefixes(2, seed=6)
+    sched = cb.ContinuousScheduler(
+        params, CFG, slots=2, prefix_len=P, horizon=16,
+        stop_token_id=-1, W=4,
+    )
+    sched.submit(prefixes[0], 8)
+    sched.submit(prefixes[1], 8)
+    sched.step()
+    st = sched.state
+    delta = 4
+    rolled = cb.roll_window(st, jnp.asarray(delta, jnp.int32))
+    assert int(rolled.t) == int(st.t) - delta
+    assert int(rolled.cache.length) == int(st.cache.length) - delta
+    np.testing.assert_array_equal(
+        np.asarray(rolled.tokens[:, : 16 - delta]),
+        np.asarray(st.tokens[:, delta:]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rolled.cache.k[:, :, : st.cache.k.shape[2] - delta]),
+        np.asarray(st.cache.k[:, :, delta:]),
+    )
+    live = ~np.asarray(st.done)
+    np.testing.assert_array_equal(
+        np.asarray(rolled.start)[live], np.asarray(st.start)[live] - delta
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rolled.deadline), np.asarray(st.deadline) - delta
+    )
+
+
+def test_per_request_sampling_knobs(params):
+    """per_request=True: greedy rows (gmask) must still match solo greedy
+    runs token-exactly while sampled rows draw in-vocab tokens with their
+    own temperature/top_p; top_p below the rejection range is rejected."""
+    prefixes = _prefixes(3, seed=7)
+    sched = cb.ContinuousScheduler(
+        params, CFG, slots=2, prefix_len=P, horizon=32,
+        stop_token_id=-1, W=4, greedy=False, top_p=0.9,
+        per_request=True,
+    )
+    r_greedy = sched.submit(prefixes[0], 6, greedy=True)
+    r_hot = sched.submit(prefixes[1], 6, temperature=1.5, top_p=0.8)
+    r_def = sched.submit(prefixes[2], 6)
+    results = sched.run_to_completion()
+    assert results[r_greedy] == _solo(params, prefixes[0], 6, -1)
+    for rid in (r_hot, r_def):
+        assert len(results[rid]) == 6
+        assert all(0 <= t < CFG.vocab_size for t in results[rid])
+    with pytest.raises(ValueError, match="below the supported"):
+        sched.submit(prefixes[0], 4, top_p=0.1)
+    plain = cb.ContinuousScheduler(
+        params, CFG, slots=2, prefix_len=P, horizon=16, stop_token_id=-1,
+    )
+    with pytest.raises(ValueError, match="per_request=True"):
+        plain.submit(prefixes[0], 4, temperature=2.0)
+
+
 def test_int8_cache_slots_run(params):
     """int8 slot cache: admission splices quantized blocks + scales; the
     engine completes and emits in-vocab tokens (int8 is lossy, so no
