@@ -208,9 +208,13 @@ class ContinuousBatchingEngine:
     window) and the next request's prefill splices into the live cache.
     Measured A/B on a Poisson-arrival mix: benchmarks/exp_serving.py.
 
-    Greedy only, engine-wide decode knobs (every slot shares the jitted
-    stage program); per-request ``max_len``. Token outputs are identical
-    to solo ``wrapper.generate`` calls (tests/test_continuous.py,
+    Greedy by default with engine-wide decode knobs (every slot shares
+    the jitted stage program); per-request ``max_len``. With
+    ``per_request=True`` (r5), requests may carry their own
+    temperature/top_p/sample knobs — the stage then runs the per-row
+    sampler for every slot (greedy rows select their argmax), so leave
+    it off for pure-greedy serving. Greedy outputs are identical to solo
+    ``wrapper.generate`` calls (tests/test_continuous.py,
     tests/test_serving.py).
     """
 
@@ -222,6 +226,8 @@ class ContinuousBatchingEngine:
         stop_token: str = "<|endoftext|>",
         kv_cache_dtype: Optional[str] = None,
         flush_window: int = 8,
+        per_request: bool = False,
+        seed: int = 0,
     ):
         import jax
         import jax.numpy as jnp
@@ -252,12 +258,15 @@ class ContinuousBatchingEngine:
             )
         self._params = params
         self._encode = mellow_model._encode_prefix_jit
+        self._per_request = per_request
         self._sched = cb.ContinuousScheduler(
             params["decoder"], wrapper.cfg.decoder,
             slots=slots, prefix_len=wrapper.cfg.prefix_length,
             horizon=horizon, stop_token_id=stop_id,
             cache_dtype=kv_cache_dtype or str(self._dtype),
             dtype=self._dtype, greedy=True, W=flush_window,
+            per_request=per_request,
+            rng=jax.random.PRNGKey(seed) if per_request else None,
         )
         self._lock = threading.Lock()  # guards _sched + _futures
         self._futures: Dict[int, Future] = {}
@@ -276,12 +285,20 @@ class ContinuousBatchingEngine:
         *,
         max_len: int = 300,
         timeout: Optional[float] = None,
+        sample: bool = False,
+        top_p: float = 0.8,
+        temperature: float = 1.0,
     ) -> Future:
         if not self._running:
             raise RuntimeError("engine is shut down")
+        if sample and not self._per_request:
+            raise ValueError(
+                "sampled requests need ContinuousBatchingEngine("
+                "per_request=True)"
+            )
         req = _Request(
             [audio_path1, audio_path2, prompt],
-            _BatchKey(max_len, 0.8, 1.0, False),
+            _BatchKey(max_len, top_p, temperature, sample),
             0,
             None if timeout is None else time.monotonic() + timeout,
         )
@@ -344,7 +361,13 @@ class ContinuousBatchingEngine:
         )
         prefix = np.asarray(prefix)
         for i, r in enumerate(reqs):
-            rid = self._sched.submit(prefix[i], r.key.max_len)
+            kw = {}
+            if self._per_request:
+                kw = dict(
+                    greedy=not r.key.sample, top_p=r.key.top_p,
+                    temperature=r.key.temperature,
+                )
+            rid = self._sched.submit(prefix[i], r.key.max_len, **kw)
             self._futures[rid] = r.future
 
     def _loop(self) -> None:

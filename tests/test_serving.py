@@ -103,6 +103,33 @@ def test_concurrent_load_mixed_keys_no_starvation():
     assert not engine._thread.is_alive()
 
 
+def test_continuous_engine_per_request_knobs(wrapper):
+    """per_request=True engine: a greedy request still matches the solo
+    wrapper string exactly while a sampled one (own temperature/top_p)
+    returns a decodable string; sampled submit without per_request is
+    rejected."""
+    from mellow_tpu.serving import ContinuousBatchingEngine
+
+    engine = ContinuousBatchingEngine(
+        wrapper, slots=2, horizon=16, flush_window=4, per_request=True
+    )
+    f_greedy = engine.submit(REF_WAV1, REF_WAV2, "alpha", max_len=6)
+    f_samp = engine.submit(
+        REF_WAV1, REF_WAV2, "beta", max_len=6, sample=True,
+        temperature=1.3, top_p=0.8,
+    )
+    got = f_greedy.result(timeout=600)
+    direct = wrapper.generate([[REF_WAV1, REF_WAV2, "alpha"]], max_len=6)
+    assert got == direct[0]
+    assert isinstance(f_samp.result(timeout=600), str)
+    engine.shutdown()
+
+    plain = ContinuousBatchingEngine(wrapper, slots=2, horizon=16)
+    with pytest.raises(ValueError, match="per_request=True"):
+        plain.submit(REF_WAV1, REF_WAV2, "x", max_len=4, sample=True)
+    plain.shutdown()
+
+
 def test_timeout_expires_queued_request():
     w = _RecordingWrapper()
     engine = BatchingEngine(w, max_batch_size=2, max_wait_ms=1)
