@@ -170,32 +170,37 @@ def main():
         f"(w8a8-vs-int8: {float((t_q == t_w8).mean()):.3f}; same caveat)")
 
     # ------------------------------------------------------------------
-    # 1b) SAMPLED decode (VERDICT r3 item 2: the serving knob had no perf
-    # number). B=64 int8/int8, top_p=0.8 — the sort-free exact rejection
-    # sampler (models/generate._reject_sample). Same slope methodology.
+    # 1b) SAMPLED decode (VERDICT r3 item 2 / r4 item 8): top_p=0.8 via
+    # the sort-free exact rejection sampler (generate._reject_sample), at
+    # B=64 (r4 continuity) AND the B=256 headline batch — the sampler's
+    # (B, V, R) acceptance reduce scales with B, so the ratio must be
+    # shown to hold at the batch the headline quotes.
     # ------------------------------------------------------------------
-    def run_sampled(max_len):
-        return gen.generate(
-            dec_int8w, cfg.decoder, prefixes[64], max_len=max_len,
-            stop_token_id=-1, greedy=False, top_p=0.8, temperature=1.0,
-            rng=jax.random.PRNGKey(0), cache_dtype="int8",
-        )
+    sampled_ratios = {}
+    for Bs in (64, 256):
+        def run_sampled(max_len, Bs=Bs):
+            return gen.generate(
+                dec_int8w, cfg.decoder, prefixes[Bs], max_len=max_len,
+                stop_token_id=-1, greedy=False, top_p=0.8, temperature=1.0,
+                rng=jax.random.PRNGKey(0), cache_dtype="int8",
+            )
 
-    run_sampled(SHORT).tokens.block_until_ready()
-    run_sampled(LONG).tokens.block_until_ready()
-    ts_s = ts_l = 1e9
-    for _ in range(3):
-        t0 = time.time()
         run_sampled(SHORT).tokens.block_until_ready()
-        ts_s = min(ts_s, time.time() - t0)
-        t0 = time.time()
         run_sampled(LONG).tokens.block_until_ready()
-        ts_l = min(ts_l, time.time() - t0)
-    samp_tps = 64 / ((ts_l - ts_s) / (LONG - SHORT))
-    greedy_tps = results[(64, "int8", "int8")][0]
-    log(f"decode SAMPLED (B=64 int8/int8 top_p=0.8): {samp_tps:,.0f} tok/s "
-        f"steady-state = {samp_tps / greedy_tps:.2f}x of greedy "
-        f"({greedy_tps:,.0f})")
+        ts_s = ts_l = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            run_sampled(SHORT).tokens.block_until_ready()
+            ts_s = min(ts_s, time.time() - t0)
+            t0 = time.time()
+            run_sampled(LONG).tokens.block_until_ready()
+            ts_l = min(ts_l, time.time() - t0)
+        samp_tps = Bs / ((ts_l - ts_s) / (LONG - SHORT))
+        greedy_tps = results[(Bs, "int8", "int8")][0]
+        sampled_ratios[Bs] = (samp_tps, samp_tps / greedy_tps)
+        log(f"decode SAMPLED (B={Bs} int8/int8 top_p=0.8): {samp_tps:,.0f} "
+            f"tok/s steady-state = {samp_tps / greedy_tps:.2f}x of greedy "
+            f"({greedy_tps:,.0f})")
 
     # ------------------------------------------------------------------
     # 1c) cascade compaction on the 50% short-answer mix (the serving
@@ -231,9 +236,74 @@ def main():
             jax.block_until_ready(run_mix(cascade).tokens)
             best = min(best, time.time() - t0)
         times[cascade] = best
+    cascade_ratio = times[False] / times[True]
     log(f"cascade (B={Bc} int8/int8, 50% short-answer mix, {LONG} steps): "
         f"static {times[False]*1e3:.0f} ms vs cascade {times[True]*1e3:.0f} ms "
-        f"-> {times[False]/times[True]:.2f}x (serving dynamic_batch default)")
+        f"-> {cascade_ratio:.2f}x (serving dynamic_batch default)")
+
+    # ------------------------------------------------------------------
+    # 1c2) CONTINUOUS batching vs the cascade baseline (VERDICT r4 items
+    # 3+5: r4 shipped the engine with no recorded number). Decoder-level
+    # saturated-queue mix: N requests (50% deadline-3 short / 50%
+    # LONG-token, the binary-AQA + caption analog), slots = Bc/2 so
+    # admission happens mid-flight, vs the SAME requests run as two
+    # sequential generate_cascade batches (the r3-optimized baseline, not
+    # a strawman). Sustained throughput = completed requests / wall.
+    # The full serving-level Poisson A/B (arrival dynamics + encode) is
+    # benchmarks/exp_serving.py.
+    # ------------------------------------------------------------------
+    from mellow_tpu.models import continuous as cb
+
+    Ncb = Bc  # 256 requests through Bc/2 = 128 slots
+    slots_cb = Bc // 2
+    # Identical rows + identical stop semantics for BOTH engines: even
+    # rows are copies of the probe row (stop token at step ~3, the
+    # binary-AQA analog), odd rows run toward LONG.
+    mix2_np = np.asarray(prefixes[Bc]).copy()
+    mix2_np[0::2] = mix2_np[0]
+
+    def run_continuous():
+        sched = cb.ContinuousScheduler(
+            dec_int8w, cfg.decoder, slots=slots_cb, prefix_len=P,
+            horizon=2 * LONG, stop_token_id=stop, W=8, cache_dtype="int8",
+            dtype=dtype, admit_quantum=16,  # batch admissions: fewer
+            # stage exits (each pays a tunnel RTT) + fewer pow-2 admit
+            # sizes to compile
+        )
+        for i in range(Ncb):
+            sched.submit(mix2_np[i], LONG)
+        return sched.run_to_completion()
+
+    def run_batched():
+        # Baseline: the same 256 rows as two sequential cascade batches
+        # of slots_cb — serving.BatchingEngine(dynamic_batch=True)
+        # semantics (the r3-optimized baseline, not a strawman).
+        outs = []
+        for b in range(0, Ncb, slots_cb):
+            pf = jnp.asarray(mix2_np[b:b + slots_cb], dtype)
+            outs.append(gen.generate_cascade(
+                dec_int8w, cfg.decoder, pf, max_len=LONG,
+                stop_token_id=stop, greedy=True, cache_dtype="int8",
+                min_batch=32,
+            ))
+        return outs
+
+    jax.block_until_ready(run_batched()[-1].tokens)  # compile
+    run_continuous()  # compile (admit buckets + stages)
+    t0 = time.time()
+    res_cb = run_continuous()
+    t_cont = time.time() - t0
+    t0 = time.time()
+    jax.block_until_ready(run_batched()[-1].tokens)
+    t_batch = time.time() - t0
+    assert len(res_cb) == Ncb
+    cont_rps = Ncb / t_cont
+    cont_speedup = t_batch / t_cont
+    log(f"continuous batching (N={Ncb} reqs, {slots_cb} slots, 50% short "
+        f"mix, int8): {t_cont*1e3:.0f} ms = {cont_rps:,.1f} req/s vs "
+        f"cascade batches {t_batch*1e3:.0f} ms -> {cont_speedup:.2f}x "
+        f"(each stage boundary pays a tunnel RTT here; locally-attached "
+        f"chips sync ~free — same caveat as cascade)")
 
     # ------------------------------------------------------------------
     # 1d) GPT-2 family decode at the full 12L/768 shape (VERDICT r3 item
@@ -337,6 +407,20 @@ def main():
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tokens_per_s / DECODE_BASELINE_TOKSPS, 3),
+        # Secondary metrics as PARSED fields (VERDICT r4 item 3: headline
+        # docs restate from this artifact, not from same-day side runs).
+        "extra": {
+            "encoder_clips_per_s": round(clips_per_s, 1),
+            "sampled_tok_per_s_b64": round(sampled_ratios[64][0], 1),
+            "sampled_vs_greedy_b64": round(sampled_ratios[64][1], 3),
+            "sampled_tok_per_s_b256": round(sampled_ratios[256][0], 1),
+            "sampled_vs_greedy_b256": round(sampled_ratios[256][1], 3),
+            "cascade_speedup": round(cascade_ratio, 3),
+            "continuous_req_per_s": round(cont_rps, 2),
+            "continuous_vs_cascade_batches": round(cont_speedup, 3),
+            "gpt2_tok_per_s_b64": round(gpt2_tps, 1),
+            "e2e_p50_ms": round(p50 * 1e3, 1),
+        },
     }))
 
 

@@ -342,6 +342,10 @@ class ContinuousScheduler:
         rng: Optional[jax.Array] = None,
         prefill_chunk: Optional[int] = None,
         per_request: bool = False,  # per-request temperature/top_p/greedy
+        admit_quantum: int = 1,  # exit a stage once this many MORE slots
+        # are done (>1 batches admissions: fewer stage exits/host syncs
+        # and fewer distinct pow-2 admit sizes -> fewer compiles; the
+        # cost is freed slots idling up to quantum-1 drains longer)
     ):
         if horizon % W:
             raise ValueError(f"horizon {horizon} must be a multiple of W={W}")
@@ -353,6 +357,7 @@ class ContinuousScheduler:
         self.temperature, self.top_k, self.W = float(temperature), top_k, W
         self.prefill_chunk = prefill_chunk
         self.per_request = per_request
+        self.admit_quantum = max(1, int(admit_quantum))
         if per_request and top_k:
             raise ValueError("per_request mode has no per-row top_k "
                              "(decode_stage docstring); set top_k=0")
@@ -518,7 +523,8 @@ class ContinuousScheduler:
         # Exit target: one more row than currently-done when there is a
         # queue to admit from, else run until every live row finishes.
         n_done = int(np.asarray(jax.device_get(self.state.done)).sum())
-        target = n_done + 1 if self._queue else self.slots + 1
+        target = (n_done + self.admit_quantum if self._queue
+                  else self.slots + 1)
         stop_at = jnp.asarray(min(target, self.slots + 1), jnp.int32)
         self.state = decode_stage(
             self.params, self.cfg, self.state, stop_at,

@@ -44,7 +44,7 @@ def _kernel(
     x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref, mask_ref,
     out_ref, o_scr,
-    *, H, C, N, ws, nWw, n_mask, eps, scale,
+    *, H, C, N, ws, nWw, n_mask, eps, scale, paired,
 ):
     f32 = jnp.float32
     T = ws * nWw * ws  # tokens in this row of windows
@@ -79,29 +79,83 @@ def _kernel(
     blockmask = (rows // N) == (lanes // hd)
     zero = jnp.zeros((H * N, C), f32)
 
-    for j in range(nWw):
-        w = qkv[:, j].reshape(N, 3 * C)
-        q = w[:, :C] * jnp.asarray(scale, dt)
-        k = w[:, C : 2 * C]
-        v = w[:, 2 * C :]
-        q_rep = jnp.concatenate([q] * H, axis=0)  # (H*N, C)
-        q_bd = jnp.where(blockmask, q_rep, zero.astype(dt))
-        s = jax.lax.dot_general(
-            q_bd, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
-        )  # (H*N, N)
-        s = s + bias_ref[...]
-        if n_mask:
-            widx = pl.program_id(1) * nWw + j
-            m = mask_ref[widx]  # (N, N) fp32
-            s = s + jnp.concatenate([m] * H, axis=0)
-        m_row = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - m_row)
-        p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(dt)
-        o_bd = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=f32
-        )  # (H*N, C)
-        o = jnp.sum(jnp.where(blockmask, o_bd, zero).reshape(H, N, C), axis=0)
-        o_scr[:, j] = o.astype(dt).reshape(ws, ws, C)
+    if paired:
+        # Two windows per iteration (r5, VERDICT r4 item 4): the
+        # per-window score dot's N=64 output pads to the 128-lane tile
+        # anyway, so window pairs ride in one (2HN, C) @ (C, 2N) dot
+        # whose padded lanes now carry the second window — half the
+        # MXU score/PV work per window and full-lane softmax rows.
+        # bias_ref is the (2HN, 2N) block-diagonal pair bias (cross-
+        # window blocks -1e30), mask_ref the (nPair, 2N, 2N) pair mask.
+        for jp in range(nWw // 2):
+            # NB: the window axis of qkv is SECOND — slice each window
+            # out before flattening so rows stay [win A tokens; win B]
+            # in the original (si, sj) order, not interleaved.
+            wA = qkv[:, 2 * jp].reshape(N, 3 * C)
+            wB = qkv[:, 2 * jp + 1].reshape(N, 3 * C)
+            sc = jnp.asarray(scale, dt)
+            k2 = jnp.concatenate([wA[:, C: 2 * C], wB[:, C: 2 * C]], axis=0)
+            v2 = jnp.concatenate([wA[:, 2 * C:], wB[:, 2 * C:]], axis=0)
+            qA = jnp.concatenate([wA[:, :C] * sc] * H, axis=0)  # (HN, C)
+            qB = jnp.concatenate([wB[:, :C] * sc] * H, axis=0)
+            q_bd2 = jnp.concatenate(
+                [jnp.where(blockmask, qA, zero.astype(dt)),
+                 jnp.where(blockmask, qB, zero.astype(dt))], axis=0
+            )  # (2HN, C)
+            s = jax.lax.dot_general(
+                q_bd2, k2, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (2HN, 2N); cross-window blocks killed by the pair bias
+            s = s + bias_ref[...]
+            if n_mask:
+                pidx = pl.program_id(1) * (nWw // 2) + jp
+                m2 = mask_ref[pidx]  # (2N, 2N) fp32
+                s = s + jnp.concatenate(
+                    [jnp.concatenate([m2[:N]] * H, axis=0),
+                     jnp.concatenate([m2[N:]] * H, axis=0)], axis=0
+                )
+            m_row = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m_row)
+            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(dt)
+            o_bd = jax.lax.dot_general(
+                p, v2, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )  # (2HN, C); off-window weights are exact zeros
+            oA = jnp.sum(
+                jnp.where(blockmask, o_bd[: H * N], zero).reshape(H, N, C),
+                axis=0,
+            )
+            oB = jnp.sum(
+                jnp.where(blockmask, o_bd[H * N:], zero).reshape(H, N, C),
+                axis=0,
+            )
+            o_scr[:, 2 * jp] = oA.astype(dt).reshape(ws, ws, C)
+            o_scr[:, 2 * jp + 1] = oB.astype(dt).reshape(ws, ws, C)
+    else:
+        for j in range(nWw):
+            w = qkv[:, j].reshape(N, 3 * C)
+            q = w[:, :C] * jnp.asarray(scale, dt)
+            k = w[:, C : 2 * C]
+            v = w[:, 2 * C :]
+            q_rep = jnp.concatenate([q] * H, axis=0)  # (H*N, C)
+            q_bd = jnp.where(blockmask, q_rep, zero.astype(dt))
+            s = jax.lax.dot_general(
+                q_bd, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )  # (H*N, N)
+            s = s + bias_ref[...]
+            if n_mask:
+                widx = pl.program_id(1) * nWw + j
+                m = mask_ref[widx]  # (N, N) fp32
+                s = s + jnp.concatenate([m] * H, axis=0)
+            m_row = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m_row)
+            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(dt)
+            o_bd = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )  # (H*N, C)
+            o = jnp.sum(
+                jnp.where(blockmask, o_bd, zero).reshape(H, N, C), axis=0
+            )
+            o_scr[:, j] = o.astype(dt).reshape(ws, ws, C)
 
     o_flat = o_scr[...].reshape(T, C)
     x1 = x + mm(o_flat, wproj_ref, bproj_ref)  # attention residual
@@ -148,18 +202,44 @@ def swin_block_fused(
     H = num_heads
     scale = np.float32((C // H) ** -0.5)
     n_mask = 0 if mask is None else mask.shape[0]
-    mask_in = (
-        jnp.zeros((1, N, N), jnp.float32)
-        if mask is None
-        else jnp.asarray(mask, jnp.float32)
-    )
+    # Window PAIRING (kernel docstring): needs an even window count per
+    # row. The pair bias is block-diagonal with -1e30 cross-window blocks
+    # (exact zeros after softmax), so the unpaired math is preserved.
+    # Kill switch MELLOW_TPU_SWIN_PAIRED=0 (A/B + the usual escape hatch;
+    # read at trace time like the other kernel knobs).
+    import os
+
+    paired = nWw % 2 == 0 and os.environ.get(
+        "MELLOW_TPU_SWIN_PAIRED", "1"
+    ) != "0"
+    bias_in = jnp.asarray(bias, jnp.float32)
+    if paired:
+        neg = jnp.full((H * N, N), -1e30, jnp.float32)
+        bias_in = jnp.concatenate([
+            jnp.concatenate([bias_in, neg], axis=1),
+            jnp.concatenate([neg, bias_in], axis=1),
+        ], axis=0)  # (2HN, 2N)
+    if mask is None:
+        mw = 2 * N if paired else N
+        mask_in = jnp.zeros((1, mw, mw), jnp.float32)
+    else:
+        mask_in = jnp.asarray(mask, jnp.float32)
+        if paired:
+            m = mask_in
+            nP = m.shape[0] // 2
+            z = jnp.zeros((nP, N, N), jnp.float32)  # cross blocks: the
+            # pair bias already carries the -1e30 there
+            mask_in = jnp.concatenate([
+                jnp.concatenate([m[0::2], z], axis=2),
+                jnp.concatenate([z, m[1::2]], axis=2),
+            ], axis=1)  # (nPair, 2N, 2N)
 
     V = pltpu.VMEM
     whole = [pl.BlockSpec(memory_space=V)] * 12
     out = pl.pallas_call(
         functools.partial(
             _kernel, H=H, C=C, N=N, ws=ws, nWw=nWw, n_mask=n_mask,
-            eps=np.float32(eps), scale=scale,
+            eps=np.float32(eps), scale=scale, paired=paired,
         ),
         grid=(B, nWw),
         in_specs=[
@@ -182,16 +262,18 @@ def swin_block_fused(
     )(
         x, ln1_scale, ln1_bias, w_qkv, b_qkv, w_proj, b_proj,
         ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
-        jnp.asarray(bias, jnp.float32), mask_in,
+        bias_in, mask_in,
     )
     return out
 
 
 def fused_block_vmem_bytes(C: int, num_heads: int, ws: int, R: int) -> int:
     """Rough VMEM budget for the gate: weights + bias/mask + block
-    activations (x, qkv, mlp hidden, out, scratch)."""
+    activations (x, qkv, mlp hidden, out, scratch). The bias/mask term
+    uses the PAIRED sizes (4x bias, 2x mask — the default whenever the
+    per-row window count is even, which covers every v0 stage)."""
     N = ws * ws
     weights = 2 * (C * 3 * C + C * C + 2 * C * 4 * C)
-    bias = 4 * num_heads * N * N + 4 * (R // ws) ** 2 * N * N
+    bias = 4 * num_heads * (2 * N) * (2 * N) + 4 * (R // ws) ** 2 * 2 * N * N
     acts = 2 * ws * R * C * (1 + 3 + 4 + 1 + 1) * 2  # fp32 temps headroom
     return weights + bias + acts
