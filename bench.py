@@ -23,6 +23,7 @@ offline) — throughput is weight-value independent.
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -80,15 +81,22 @@ def main():
         )
 
     def time_decode(dec, B, cache_dtype, prefix, max_len, w8a8=False, reps=3):
+        # Force completion by FETCHING a dependent scalar (num_steps is
+        # an output of the same jitted program as the tokens).
+        # block_until_ready alone returned EARLY on the axon runtime in
+        # this session (sub-RTT "timings", 141M tok/s nonsense) — the
+        # same flake CLAUDE.md records for microbench loops; a scalar
+        # fetch costs one tunnel RTT which the slope methodology
+        # cancels (it is identical for the SHORT and LONG runs).
         t0 = time.time()
         res = run_decode(dec, B, cache_dtype, prefix, max_len, w8a8)
-        res.tokens.block_until_ready()
+        assert int(res.num_steps) == max_len
         compile_s = time.time() - t0
         times = []
         for _ in range(reps):
             t0 = time.time()
             res = run_decode(dec, B, cache_dtype, prefix, max_len, w8a8)
-            res.tokens.block_until_ready()
+            int(res.num_steps)
             times.append(time.time() - t0)
         return min(times), compile_s, res
 
@@ -185,15 +193,15 @@ def main():
                 rng=jax.random.PRNGKey(0), cache_dtype="int8",
             )
 
-        run_sampled(SHORT).tokens.block_until_ready()
-        run_sampled(LONG).tokens.block_until_ready()
+        int(run_sampled(SHORT).num_steps)
+        int(run_sampled(LONG).num_steps)
         ts_s = ts_l = 1e9
         for _ in range(3):
             t0 = time.time()
-            run_sampled(SHORT).tokens.block_until_ready()
+            int(run_sampled(SHORT).num_steps)
             ts_s = min(ts_s, time.time() - t0)
             t0 = time.time()
-            run_sampled(LONG).tokens.block_until_ready()
+            int(run_sampled(LONG).num_steps)
             ts_l = min(ts_l, time.time() - t0)
         samp_tps = Bs / ((ts_l - ts_s) / (LONG - SHORT))
         greedy_tps = results[(Bs, "int8", "int8")][0]
@@ -229,11 +237,11 @@ def main():
 
     times = {}
     for cascade in (False, True):
-        jax.block_until_ready(run_mix(cascade).tokens)  # compile
+        int(run_mix(cascade).num_steps)  # compile (scalar-fetch completion)
         best = 1e9
         for _ in range(3):
             t0 = time.time()
-            jax.block_until_ready(run_mix(cascade).tokens)
+            int(run_mix(cascade).num_steps)
             best = min(best, time.time() - t0)
         times[cascade] = best
     cascade_ratio = times[False] / times[True]
@@ -242,68 +250,37 @@ def main():
         f"-> {cascade_ratio:.2f}x (serving dynamic_batch default)")
 
     # ------------------------------------------------------------------
-    # 1c2) CONTINUOUS batching vs the cascade baseline (VERDICT r4 items
-    # 3+5: r4 shipped the engine with no recorded number). Decoder-level
-    # saturated-queue mix: N requests (50% deadline-3 short / 50%
-    # LONG-token, the binary-AQA + caption analog), slots = Bc/2 so
-    # admission happens mid-flight, vs the SAME requests run as two
-    # sequential generate_cascade batches (the r3-optimized baseline, not
-    # a strawman). Sustained throughput = completed requests / wall.
-    # The full serving-level Poisson A/B (arrival dynamics + encode) is
-    # benchmarks/exp_serving.py.
+    # 1c2) CONTINUOUS batching on a Poisson-arrival mix at the SERVING
+    # level (VERDICT r4 items 3+5: r4 shipped the engine with no
+    # recorded number): benchmarks/exp_serving.py's threaded A/B on a
+    # compact trace — ContinuousBatchingEngine vs
+    # BatchingEngine(dynamic_batch=True), identical arrivals, real
+    # preprocess+encode, greedy outputs cross-checked (24/24 must
+    # agree). Two decoder-level constructions were tried first and
+    # REJECTED as baselines (recorded in benchmarks/README.md r5): an
+    # offline-saturated two-full-batches run (the batch engine's best
+    # case, no arrival dynamics, and realization-sensitive: 0.63-0.86x
+    # across stop-token draws) and a step-clock Poisson sim against an
+    # idealized single-queue cascade coalescer no serving engine
+    # implements (0.61x); both are also tunnel-RTT-dominated per
+    # continuous stage exit on this rig. The serving-level A/B compares
+    # the two REAL engines on the reference's serving workload.
+    # Full-size trace (N=64, 32 slots): 1.53x, benchmarks/README.md.
     # ------------------------------------------------------------------
-    from mellow_tpu.models import continuous as cb
+    import contextlib
 
-    Ncb = Bc  # 256 requests through Bc/2 = 128 slots
-    slots_cb = Bc // 2
-    # Identical rows + identical stop semantics for BOTH engines: even
-    # rows are copies of the probe row (stop token at step ~3, the
-    # binary-AQA analog), odd rows run toward LONG.
-    mix2_np = np.asarray(prefixes[Bc]).copy()
-    mix2_np[0::2] = mix2_np[0]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks import exp_serving
 
-    def run_continuous():
-        sched = cb.ContinuousScheduler(
-            dec_int8w, cfg.decoder, slots=slots_cb, prefix_len=P,
-            horizon=2 * LONG, stop_token_id=stop, W=8, cache_dtype="int8",
-            dtype=dtype, admit_quantum=16,  # batch admissions: fewer
-            # stage exits (each pays a tunnel RTT) + fewer pow-2 admit
-            # sizes to compile
-        )
-        for i in range(Ncb):
-            sched.submit(mix2_np[i], LONG)
-        return sched.run_to_completion()
-
-    def run_batched():
-        # Baseline: the same 256 rows as two sequential cascade batches
-        # of slots_cb — serving.BatchingEngine(dynamic_batch=True)
-        # semantics (the r3-optimized baseline, not a strawman).
-        outs = []
-        for b in range(0, Ncb, slots_cb):
-            pf = jnp.asarray(mix2_np[b:b + slots_cb], dtype)
-            outs.append(gen.generate_cascade(
-                dec_int8w, cfg.decoder, pf, max_len=LONG,
-                stop_token_id=stop, greedy=True, cache_dtype="int8",
-                min_batch=32,
-            ))
-        return outs
-
-    jax.block_until_ready(run_batched()[-1].tokens)  # compile
-    run_continuous()  # compile (admit buckets + stages)
-    t0 = time.time()
-    res_cb = run_continuous()
-    t_cont = time.time() - t0
-    t0 = time.time()
-    jax.block_until_ready(run_batched()[-1].tokens)
-    t_batch = time.time() - t0
-    assert len(res_cb) == Ncb
-    cont_rps = Ncb / t_cont
-    cont_speedup = t_batch / t_cont
-    log(f"continuous batching (N={Ncb} reqs, {slots_cb} slots, 50% short "
-        f"mix, int8): {t_cont*1e3:.0f} ms = {cont_rps:,.1f} req/s vs "
-        f"cascade batches {t_batch*1e3:.0f} ms -> {cont_speedup:.2f}x "
-        f"(each stage boundary pays a tunnel RTT here; locally-attached "
-        f"chips sync ~free — same caveat as cascade)")
+    with contextlib.redirect_stdout(sys.stderr):  # keep the JSON line
+        # as this process's ONLY stdout (build_wrapper prints a banner)
+        serving_ab = exp_serving.main(N=24, rate=12.0, slots=16, short=8,
+                                      long_=64)
+    cont_speedup = serving_ab["speedup"]
+    assert serving_ab["agreement"] == 1.0, serving_ab
+    log(f"continuous POISSON serving mix (N=24, 12 req/s, 16 slots): "
+        f"{cont_speedup:.2f}x of BatchingEngine(dynamic_batch=True) "
+        f"(full-size trace 1.53x, benchmarks/README.md)")
 
     # ------------------------------------------------------------------
     # 1d) GPT-2 family decode at the full 12L/768 shape (VERDICT r3 item
@@ -321,15 +298,15 @@ def main():
             greedy=True, cache_dtype="bfloat16", family="gpt2",
         )
 
-    run_gpt2(SHORT).tokens.block_until_ready()
-    run_gpt2(LONG).tokens.block_until_ready()
+    int(run_gpt2(SHORT).num_steps)
+    int(run_gpt2(LONG).num_steps)
     tg_s = tg_l = 1e9
     for _ in range(3):
         t0 = time.time()
-        run_gpt2(SHORT).tokens.block_until_ready()
+        int(run_gpt2(SHORT).num_steps)
         tg_s = min(tg_s, time.time() - t0)
         t0 = time.time()
-        run_gpt2(LONG).tokens.block_until_ready()
+        int(run_gpt2(LONG).num_steps)
         tg_l = min(tg_l, time.time() - t0)
     gpt2_tps = 64 / ((tg_l - tg_s) / (LONG - SHORT))
     log(f"decode GPT-2 (B=64 12L/768 bf16 cache): {gpt2_tps:,.0f} tok/s "
@@ -391,11 +368,11 @@ def main():
             params, cfg, wave1, wave1, text, max_len=32, cache_dtype="bfloat16"
         )
 
-    run_e2e().tokens.block_until_ready()
+    int(run_e2e().num_steps)
     lat = []
     for _ in range(5):
         t0 = time.time()
-        run_e2e().tokens.block_until_ready()
+        int(run_e2e().num_steps)
         lat.append(time.time() - t0)
     p50 = sorted(lat)[len(lat) // 2]
     log(f"e2e generate (1 pair, 32 tok): p50 {p50*1000:.0f} ms")
@@ -416,8 +393,7 @@ def main():
             "sampled_tok_per_s_b256": round(sampled_ratios[256][0], 1),
             "sampled_vs_greedy_b256": round(sampled_ratios[256][1], 3),
             "cascade_speedup": round(cascade_ratio, 3),
-            "continuous_req_per_s": round(cont_rps, 2),
-            "continuous_vs_cascade_batches": round(cont_speedup, 3),
+            "continuous_vs_batch_poisson": round(cont_speedup, 3),
             "gpt2_tok_per_s_b64": round(gpt2_tps, 1),
             "e2e_p50_ms": round(p50 * 1e3, 1),
         },

@@ -67,7 +67,9 @@ def drive(engine, arrivals, reqs):
     return results, np.asarray(lat), makespan
 
 
-def main(N=64, rate=12.0, slots=32):
+def main(N=64, rate=12.0, slots=32, wrapper=None, short=SHORT, long_=LONG):
+    """Returns {"continuous_rps", "batch_rps", "speedup", "agreement"} so
+    bench.py can record a serving-level Poisson number in the artifact."""
     from mellow_tpu.utils.compile_cache import enable as enable_cache
 
     enable_cache()
@@ -75,7 +77,10 @@ def main(N=64, rate=12.0, slots=32):
     from mellow_tpu.cli import build_wrapper
     from mellow_tpu.serving import BatchingEngine, ContinuousBatchingEngine
 
-    wrapper = build_wrapper("v0", "v0", weight_dtype="int8")
+    global SHORT, LONG
+    SHORT, LONG = short, long_
+    if wrapper is None:
+        wrapper = build_wrapper("v0", "v0", weight_dtype="int8")
     rng = np.random.RandomState(0)
     arrivals = np.cumsum(rng.exponential(1.0 / rate, N))
     reqs = [
@@ -131,6 +136,12 @@ def main(N=64, rate=12.0, slots=32):
     log(f"SPEEDUP (makespan): {speed:.2f}x; latency p50 "
         f"{out['batch'][1].mean() / max(out['continuous'][1].mean(), 1e-9):.2f}x"
         f" (mean)")
+    return {
+        "continuous_rps": N / out["continuous"][2],
+        "batch_rps": N / out["batch"][2],
+        "speedup": speed,
+        "agreement": (N - mismatch) / N,
+    }
 
 
 if __name__ == "__main__":

@@ -371,8 +371,12 @@ class ContinuousScheduler:
         self._queue: List[Tuple[int, np.ndarray, int, Tuple[float, float, bool]]] = []
         self._next_rid = 0
         self._t = 0  # host mirror of state.t
+        self._done_host = None  # host mirror of state.done (one fetch per
+        # stage instead of three: each device_get pays a tunnel RTT)
         self.resets = 0  # capacity resets (observability)
         self.rolls = 0  # window rolls (observability)
+        self._steps_rebased = 0  # steps absorbed by rolls/resets: keeps
+        # ``clock`` (total decode steps executed) monotonic
 
     # -- request intake ------------------------------------------------
 
@@ -454,6 +458,8 @@ class ContinuousScheduler:
         t0 = int(admit_t)
         for n, (rid, _, max_new, _k) in enumerate(take):
             self._slot[free[n]] = _Slot(rid, t0, max_new)
+            if self._done_host is not None:
+                self._done_host[free[n]] = False
 
     def _collect(self, done_host, tokens_host, t_now: int):
         out = []
@@ -477,7 +483,9 @@ class ContinuousScheduler:
             self.cfg, self.slots, self.P, self.horizon,
             cache_dtype=self.cache_dtype, dtype=self.dtype, rng=self._rng,
         )
+        self._steps_rebased += self._t
         self._t = 0
+        self._done_host = np.ones((self.slots,), bool)
         self.resets += 1
 
     # -- the drive loop --------------------------------------------------
@@ -494,6 +502,7 @@ class ContinuousScheduler:
             return False
         self.state = roll_window(self.state, jnp.asarray(delta, jnp.int32))
         self._t -= delta
+        self._steps_rebased += delta
         self._slot = [
             None if s is None else s._replace(admit_step=s.admit_step - delta)
             for s in self._slot
@@ -504,25 +513,30 @@ class ContinuousScheduler:
     def step(self) -> List[Tuple[int, List[int]]]:
         """Admit what fits, run one stage, return finished
         (rid, token_list) pairs. Call until ``idle``."""
-        done_host = np.asarray(jax.device_get(self.state.done))
+        # One done fetch per stage: the host mirror is refreshed at the
+        # previous stage's exit and kept consistent through reset/admit
+        # (every extra device_get pays a tunnel RTT on this rig).
+        if self._done_host is None:
+            self._done_host = np.asarray(jax.device_get(self.state.done)).copy()
+        done_host = self._done_host
         active = any(s is not None for s in self._slot)
         if self._queue and not any(self._admissible(q[2]) for q in self._queue):
             if active:
                 self._roll()  # rolling window: reclaim drained columns
             else:
                 self._reset()
-                done_host = np.ones((self.slots,), bool)
+                done_host = self._done_host
         free = [
             i for i in range(self.slots)
             if bool(done_host[i]) and self._slot[i] is None
         ]
         if self._queue and free:
-            self._admit_batch(free)
+            self._admit_batch(free)  # updates the done mirror in place
         if all(s is None for s in self._slot):
             return []  # nothing live (queue may hold inadmissible items)
         # Exit target: one more row than currently-done when there is a
         # queue to admit from, else run until every live row finishes.
-        n_done = int(np.asarray(jax.device_get(self.state.done)).sum())
+        n_done = int(self._done_host.sum())
         target = (n_done + self.admit_quantum if self._queue
                   else self.slots + 1)
         stop_at = jnp.asarray(min(target, self.slots + 1), jnp.int32)
@@ -537,7 +551,14 @@ class ContinuousScheduler:
             (self.state.done, self.state.tokens, self.state.t)
         )
         self._t = int(t_dev)
-        return self._collect(np.asarray(done_host), np.asarray(tokens_host), self._t)
+        self._done_host = np.asarray(done_host).copy()
+        return self._collect(self._done_host, np.asarray(tokens_host), self._t)
+
+    @property
+    def clock(self) -> int:
+        """Total decode steps executed (monotonic across rolls/resets) —
+        the simulation clock for step-time workload drivers."""
+        return self._t + self._steps_rebased
 
     @property
     def idle(self) -> bool:

@@ -150,27 +150,54 @@ def _reject_sample(
 
     ``top_p`` may also be a traced (B,) vector (continuous batching's
     per-request knob); then ``draws`` must supply the static R (use the
-    schedule for the smallest supported top_p)."""
+    schedule for the smallest supported top_p).
+
+    Two-STAGE draws (r5): the O(B*V*R) acceptance reduce is the
+    sampler's dominant cost (it streams the (B, V) probs R times), and
+    the r4 draw-count fix doubled R at the serving default — measured
+    0.80x -> 0.73x of greedy. Stage 1 runs 8 draws (per-row miss
+    probability (1-top_p)^8, 2.6e-6 at top_p=0.8); the remaining R-8
+    draws live behind a ``lax.cond`` taken only when some row actually
+    missed — the expensive branch compiles in but almost never executes
+    at serving knobs, so the common-path cost is the old R=8 sampler
+    while the all-miss guarantee (<= _REJECT_MISS_TARGET across the
+    knob range, ADVICE r4) is unchanged."""
     B, V = logits.shape
     R = _reject_draws(top_p) if draws is None else draws
     lf = logits.astype(jnp.float32)
     probs = jax.nn.softmax(lf, axis=-1)
     cdf = jnp.cumsum(probs, axis=-1)  # (B, V) nondecreasing
-    u = jax.random.uniform(rng, (B, R), jnp.float32) * cdf[:, -1:]
-    cand = jax.vmap(jnp.searchsorted)(cdf, u)  # (B, R) token ids
-    cand = jnp.minimum(cand, V - 1).astype(jnp.int32)
-    cl = jnp.take_along_axis(lf, cand, axis=1)  # (B, R) candidate logits
-    # Strictly-greater mass per candidate: one fused (B, V, R) reduce.
-    E = jnp.sum(
-        jnp.where(lf[:, :, None] > cl[:, None, :], probs[:, :, None], 0.0),
-        axis=1,
-    )  # (B, R)
     tpv = jnp.asarray(top_p, jnp.float32)
-    acc = E < (tpv if tpv.ndim == 0 else tpv[:, None])
-    first = jnp.argmax(acc, axis=1)  # first accepted draw (0 if none)
-    tok = jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0]
-    return jnp.where(
-        jnp.any(acc, axis=1), tok, jnp.argmax(lf, axis=-1).astype(jnp.int32)
+    tpb = tpv if tpv.ndim == 0 else tpv[:, None]
+
+    def draw_pass(key, r):
+        u = jax.random.uniform(key, (B, r), jnp.float32) * cdf[:, -1:]
+        cand = jax.vmap(jnp.searchsorted)(cdf, u)  # (B, r) token ids
+        cand = jnp.minimum(cand, V - 1).astype(jnp.int32)
+        cl = jnp.take_along_axis(lf, cand, axis=1)  # (B, r) cand logits
+        # Strictly-greater mass per candidate: one (B, V, r) reduce.
+        E = jnp.sum(
+            jnp.where(lf[:, :, None] > cl[:, None, :], probs[:, :, None], 0.0),
+            axis=1,
+        )  # (B, r)
+        acc = E < tpb
+        first = jnp.argmax(acc, axis=1)  # first accepted draw (0 if none)
+        tok = jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0]
+        return jnp.any(acc, axis=1), tok
+
+    gmax = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+    k1, k2 = jax.random.split(rng)
+    R1 = min(R, 8)
+    ok1, tok1 = draw_pass(k1, R1)
+    if R <= R1:
+        return jnp.where(ok1, tok1, gmax).astype(jnp.int32)
+
+    def topup(_):
+        ok2, tok2 = draw_pass(k2, R - R1)
+        return jnp.where(ok1, tok1, jnp.where(ok2, tok2, gmax))
+
+    return jax.lax.cond(
+        jnp.all(ok1), lambda _: tok1, topup, operand=None
     ).astype(jnp.int32)
 
 
