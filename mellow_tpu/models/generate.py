@@ -418,7 +418,9 @@ def _effective_window(flush_window, max_len: int, greedy: bool,
         # B=256 (per-entry slices/einsums), so large batches prefer a
         # shorter window — W=4: 49.6k vs W=8: 48.6k vs W=2: 48.0k tok/s
         # at B=256; at B=64 the entries are cheap and the flush save
-        # dominates — W=8: 40.7k vs W=4: 39.3k (r2 sweep).
+        # dominates — W=8: 40.7k vs W=4: 39.3k (r2 sweep). Re-swept at
+        # B=512 w8a8 (r5): W=4 50.4k / W=6 50.5k (noise) / W=8 49.6k /
+        # W=2 48.4k — the optimum holds.
         flush_window = 4 if batch > 128 else 8
     # Sampling no longer caps the window: _fast_sample replaced the
     # per-sub-step vocab-wide sort with a top-64 prefilter (the r3 cap of
