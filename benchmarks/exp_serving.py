@@ -106,9 +106,17 @@ def main(N=64, rate=12.0, slots=32, wrapper=None, short=SHORT, long_=LONG):
             # — int8 caches would add quantization-point divergence).
             eng = ContinuousBatchingEngine(wrapper, slots=slots, horizon=512)
         # Warm the compiles OUTSIDE the timed run (both engines pay
-        # compile only once in a long-lived server).
-        warm = [eng.submit(REF_WAV1, REF_WAV2, "warmup", max_len=m)
-                for m in (SHORT, LONG)]
+        # compile only once in a long-lived server). A FULL slot wave,
+        # not just one request per max_len: the continuous engine
+        # compiles one admit program per pow-2 admission size and one
+        # encode program per pow-2 arrival bucket, and the batch engine
+        # one generate per batch bucket — a 2-request warmup left most
+        # of those compiles INSIDE the timed window, which is why r5
+        # same-code runs spread 1.37x-2.34x (the 2.01x/2.34x runs had
+        # warm persistent caches). A long-lived server pays these once.
+        warm = [eng.submit(REF_WAV1, REF_WAV2, f"warmup{i}",
+                           max_len=SHORT if i % 2 else LONG)
+                for i in range(max(2, slots))]
         for f in warm:
             f.result(timeout=2400)
         results, lat, makespan = drive(eng, arrivals, reqs)
